@@ -1,0 +1,92 @@
+"""Simulation configuration.
+
+TPU-native replacement for the reference's compile-time constants
+(reference: src/main.cpp:54-67 file-scope consts, src/DFSPHSolver.h:27-30 and
+src/PBDSolver.h:27-30 ctor defaults, src/global.h:20-26 macros).
+
+``SimConfig`` is a frozen (hashable) dataclass so it can be closed over by /
+passed statically into ``jax.jit`` — every numeric constant of the physics
+contract lives here, plus the static capacity bounds that a fixed-shape (XLA)
+machine needs where the CUDA reference could rely on dynamic per-cell ranges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+PI = math.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """All physics + capacity constants for one simulation.
+
+    Defaults reproduce the reference dam-break scene exactly
+    (src/main.cpp:54-67).
+    """
+
+    # --- domain & discretisation (src/main.cpp:54-58,67) ---
+    space_size: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    spacing: float = 0.02                  # sphSpacing
+    radius: float = 0.04                   # sphSmoothingRadius = 2*spacing
+    cell_length: float = 0.0404            # sphCellLength = 1.01*radius
+    dt: float = 0.002
+
+    # --- fluid constants (src/main.cpp:59-66) ---
+    rho0: float = 1.0
+    rho_boundary: float = 1.4              # 1.4 * rho0
+    m0: float = 76.596750762082e-6
+    stiff: float = 10.0
+    gravity: Tuple[float, float, float] = (0.0, -9.8, 0.0)
+    visc: float = 5e-4
+    surface_tension: float = 1e-4
+    air_pressure: float = 1e-4
+
+    # --- numerical guards (src/global.h:21-26) ---
+    epsilon: float = 1e-6
+    max_accel: float = 1000.0              # MAX_A acceleration clamp
+
+    # --- DFSPH solver (src/DFSPHSolver.h:27-30) ---
+    dfsph_density_threshold: float = 1e-3
+    dfsph_divergence_threshold: float = 1e-3
+    dfsph_max_iter: int = 20
+
+    # --- PBD solver (src/PBDSolver.h:27-30) ---
+    pbd_max_iter: int = 20
+    pbd_xsph_c: float = 0.05
+    pbd_relaxation: float = 0.75
+
+    # --- static capacity bounds (TPU fixed-shape requirements; no reference
+    #     equivalent — the CUDA code walks dynamic cellStart ranges) ---
+    max_active_cells: int = 8192           # max fluid-occupied cells per step
+    max_per_cell: int = 16                 # max fluid particles per cell
+
+    # ------------------------------------------------------------------
+    @property
+    def cell_size(self) -> Tuple[int, int, int]:
+        """Grid resolution per axis (src/main.cpp:67)."""
+        return tuple(
+            int(math.ceil(s / self.cell_length)) for s in self.space_size
+        )
+
+    @property
+    def num_cells(self) -> int:
+        """Number of real cells; cell id ``num_cells`` is the out-of-grid
+        sentinel (src/CUDAFunctions.cuh:64-70)."""
+        cx, cy, cz = self.cell_size
+        return cx * cy * cz
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def dam_break_config(**overrides) -> SimConfig:
+    """The reference's only scene configuration (src/main.cpp:54-67)."""
+    return SimConfig(**overrides)
+
+
+# Benchmark dt values from the reference README (README.md:6-9); the code
+# default is dt=0.002 but published timings used these.
+BENCH_DT = {"wcsph": 0.001, "dfsph": 0.004, "pbd": 0.004}

@@ -1,0 +1,184 @@
+"""Position-Based Fluids solver [Macklin & Mueller 2013].
+
+TPU-native re-design of PBDSolver (src/PBDSolver.cu). The fixed 20-iteration
+constraint projection becomes a ``lax.fori_loop``; the carried last-step
+positions need no re-sorting (stable particle identity); and the reference's
+exception-as-control-flow first-step initialisation (src/PBDSolver.cu:44-47)
+is replaced by initialising ``pos_last = pos`` at carry creation.
+
+Note on mid-projection neighbor candidates: the reference re-bins particle i
+by its *current* (moving) position against cell ranges sorted at step start
+(src/PBDSolver.cu:155-157); this framework keeps the start-of-step cell
+assignment for both sides. Both are approximations of the same stencil and
+differ only for particles crossing a cell boundary mid-projection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops import kernels as kn
+from ..ops.grid import POS_PAD, scatter_to_grid
+from ..ops.neighbors import PairSource, neighbor_reduce
+from ..state import FluidState
+from . import common as C
+
+
+class PBDCarry(NamedTuple):
+    pos_last: jnp.ndarray  # (N, 3) positions at previous step
+
+
+def init_carry(state: FluidState) -> PBDCarry:
+    # jnp.copy: pos_last must not alias state.pos — the step function donates
+    # both input buffers, and aliased donation is rejected by the runtime.
+    return PBDCarry(pos_last=jnp.copy(state.pos))
+
+
+def _density_lambda(fg: C.FluidGrids, scene: C.Scene, pos, cfg: SimConfig):
+    """Density + constraint multiplier lambda (src/PBDSolver.cu:127-168).
+
+    Both fluid and boundary neighbors use the same contribution form (the
+    reference calls contributeDensityLambda for both, with rho0 in the
+    gradient normaliser either way)."""
+    h, eps = cfg.radius, cfg.epsilon
+    M, K = cfg.max_active_cells, cfg.max_per_cell
+    pos_g = scatter_to_grid(fg.tables, pos, M, K, fill=POS_PAD)
+
+    def term(i, j, rel, r):
+        w = kn.w_cubic(r, h)
+        g = -j["mass"][..., None] * kn.grad_w_cubic(rel, h) / cfg.rho0
+        return {
+            "rho": j["mass"] * w,
+            "gsum": -g,
+            "slam": jnp.sum(g * g, axis=-1),
+        }
+
+    acc = neighbor_reduce(
+        fg.tables,
+        {"pos": pos_g},
+        [
+            PairSource(fg.tables, {"pos": pos_g, "mass": fg.mass}, term),
+            PairSource(scene.b_tables,
+                       {"pos": scene.b_pos_grid, "mass": scene.b_mass_grid},
+                       term),
+        ],
+        C._acc_zeros(fg, {"rho": False, "gsum": True, "slam": False}),
+    )
+    rho = C._to_particles(fg, acc["rho"])
+    gsum = C._to_particles(fg, acc["gsum"])
+    slam = C._to_particles(fg, acc["slam"])
+    lam = jnp.where(
+        rho > cfg.rho0,
+        -(rho / cfg.rho0 - 1.0)
+        / (jnp.sum(gsum * gsum, axis=-1) + slam + eps),
+        0.0,
+    )
+    return rho, cfg.pbd_relaxation * lam
+
+
+def _delta_pos(fg: C.FluidGrids, scene: C.Scene, pos, lam, cfg: SimConfig):
+    """dp_i = [sum_f m_j (l_i + l_j) grad_W + sum_b m_b l_i grad_W] / rho0
+    (src/PBDSolver.cu:170-210)."""
+    h = cfg.radius
+    M, K = cfg.max_active_cells, cfg.max_per_cell
+    pos_g = scatter_to_grid(fg.tables, pos, M, K, fill=POS_PAD)
+    lam_g = scatter_to_grid(fg.tables, lam, M, K)
+
+    def fluid_term(i, j, rel, r):
+        coef = j["mass"] * (i["lam"] + j["lam"])
+        return {"dp": coef[..., None] * kn.grad_w_cubic(rel, h)}
+
+    def boundary_term(i, j, rel, r):
+        coef = j["mass"] * i["lam"]
+        return {"dp": coef[..., None] * kn.grad_w_cubic(rel, h)}
+
+    acc = neighbor_reduce(
+        fg.tables,
+        {"pos": pos_g, "lam": lam_g},
+        [
+            PairSource(fg.tables,
+                       {"pos": pos_g, "mass": fg.mass, "lam": lam_g},
+                       fluid_term),
+            PairSource(scene.b_tables,
+                       {"pos": scene.b_pos_grid, "mass": scene.b_mass_grid},
+                       boundary_term),
+        ],
+        C._acc_zeros(fg, {"dp": True}),
+    )
+    return C._to_particles(fg, acc["dp"]) / cfg.rho0
+
+
+def _xsph(fg: C.FluidGrids, scene: C.Scene, pos, vel, cfg: SimConfig):
+    """XSPH viscosity against the *current* positions
+    (src/PBDSolver.cu:89-125)."""
+    h = cfg.radius
+    M, K = cfg.max_active_cells, cfg.max_per_cell
+    pos_g = scatter_to_grid(fg.tables, pos, M, K, fill=POS_PAD)
+    vel_g = scatter_to_grid(fg.tables, vel, M, K)
+
+    def term(i, j, rel, r):
+        coef = j["mass"] * kn.w_cubic(r, h)
+        return {"dv": coef[..., None] * (j["vel"] - i["vel"])}
+
+    acc = neighbor_reduce(
+        fg.tables,
+        {"pos": pos_g, "vel": vel_g},
+        [PairSource(fg.tables,
+                    {"pos": pos_g, "mass": fg.mass, "vel": vel_g}, term)],
+        C._acc_zeros(fg, {"dv": True}),
+    )
+    return cfg.pbd_xsph_c * C._to_particles(fg, acc["dv"]) / cfg.rho0
+
+
+def step(
+    state: FluidState,
+    carry: PBDCarry,
+    scene: C.Scene,
+    cfg: SimConfig,
+    dt: float,
+) -> Tuple[FluidState, PBDCarry, Dict[str, Any]]:
+    """One PBD step (src/PBDSolver.cu:34-73)."""
+    fg = C.make_fluid_grids(state.pos, state.mass, scene, cfg)
+
+    # step 2: iterative constraint projection, fixed maxIter iterations
+    # (src/PBDSolver.cu:225-258)
+    def project_body(_, c):
+        pos, _ = c
+        rho, lam = _density_lambda(fg, scene, pos, cfg)
+        dp = _delta_pos(fg, scene, pos, lam, cfg)
+        pos = C.enforce_boundary_pos(pos + dp, cfg)
+        return pos, rho
+
+    pos, density = jax.lax.fori_loop(
+        0, cfg.pbd_max_iter, project_body, (state.pos, state.density)
+    )
+
+    # step 3: velocity from position delta (src/PBDSolver.cu:55-60)
+    vel = (pos - carry.pos_last) / dt
+    # step 4: XSPH viscosity, surface effects, gravity
+    vel = vel + _xsph(fg, scene, pos, vel, cfg)
+    if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
+        # surface pass runs on the projected positions
+        fg_now = C.FluidGrids(
+            tables=fg.tables,
+            pos=scatter_to_grid(fg.tables, pos, cfg.max_active_cells,
+                                cfg.max_per_cell, fill=POS_PAD),
+            mass=fg.mass,
+        )
+        vel = C.apply_surface_effects(fg_now, scene, vel, cfg, dt)
+    vel = C.gravity_update(vel, cfg, dt)
+
+    # step 5: remember position, predict next (src/PBDSolver.cu:71-79)
+    pos_last = pos
+    pos, vel = C.advect(pos, vel, cfg, dt)
+
+    new_state = state._replace(pos=pos, vel=vel, density=density)
+    metrics = {
+        "grid_overflow": fg.tables.overflow,
+        "active_cells": fg.tables.num_active,
+    }
+    return new_state, PBDCarry(pos_last=pos_last), metrics

@@ -1,0 +1,139 @@
+"""Simulation orchestrator — the SPHSystem equivalent.
+
+TPU-native re-design of src/SPHSystem.{h,cu}: owns the scene (boundary grid
++ Akinci masses), the fluid state, the solver carry, and a single jitted
+step function per (solver, config). Where the reference launches ~10-60 CUDA
+kernels + thrust calls per frame with a host sync (src/SPHSystem.cu:129-158),
+here the entire frame — neighbor build, solver iteration loops, integration —
+is ONE compiled XLA program.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SimConfig, dam_break_config
+from .models import common, dfsph, pbd, wcsph
+from .state import FluidState, dam_break_positions, make_fluid_state
+
+SOLVERS = {
+    "wcsph": wcsph,
+    "dfsph": dfsph,
+    "pbd": pbd,
+}
+# key-1/2/3 aliases from the reference UI (src/main.cpp:69-71,223-239)
+SOLVER_ALIASES = {"sph": "wcsph", "1": "wcsph", "2": "dfsph", "3": "pbd"}
+
+
+def resolve_solver(name: str) -> str:
+    name = name.lower()
+    return SOLVER_ALIASES.get(name, name)
+
+
+class Simulation:
+    """Owns state + compiled step; mirrors SPHSystem's public surface
+    (src/SPHSystem.h:42-61): step() -> ms, size(), fluid/boundary accessors.
+    """
+
+    def __init__(
+        self,
+        solver: str = "pbd",  # reference default (src/main.cpp:73)
+        cfg: Optional[SimConfig] = None,
+        fluid_pos: Optional[np.ndarray] = None,
+        boundary_pos: Optional[np.ndarray] = None,
+        warmup: bool = True,
+        donate: bool = True,
+    ):
+        self.cfg = cfg if cfg is not None else dam_break_config()
+        self.solver_name = resolve_solver(solver)
+        if self.solver_name not in SOLVERS:
+            raise ValueError(
+                f"unknown solver {solver!r}; choose from {sorted(SOLVERS)}"
+            )
+        self._solver = SOLVERS[self.solver_name]
+
+        if fluid_pos is None:
+            fluid_pos = dam_break_positions(self.cfg)
+        self.scene = common.build_scene(self.cfg, boundary_pos)
+        self.state = make_fluid_state(np.asarray(fluid_pos), self.cfg)
+        self.carry = self._solver.init_carry(self.state)
+        self.metrics: Dict[str, Any] = {}
+        self.frame = 0
+        self.total_ms = 0.0
+
+        solver_step = self._solver.step
+        cfg_ = self.cfg
+
+        # NOTE: scene is a jit *argument*, not a closure constant — XLA
+        # (notably on CPU) constant-folds gathers over embedded index arrays
+        # extremely slowly at compile time.
+        def _step(state, carry, scene, dt):
+            return solver_step(state, carry, scene, cfg_, dt)
+
+        donate_args = (0, 1) if donate else ()
+        self._jit_step = jax.jit(_step, donate_argnums=donate_args)
+
+        if warmup:
+            # the reference's constructor runs one warm-up step to fill
+            # density etc. (src/SPHSystem.cu:76); it also triggers
+            # compilation here.
+            self.step()
+            self.frame = 0
+            self.total_ms = 0.0
+
+    # ------------------------------------------------------------------
+    @property
+    def fluid_size(self) -> int:
+        return self.state.n
+
+    @property
+    def boundary_size(self) -> int:
+        return int(self.scene.b_pos.shape[0])
+
+    @property
+    def size(self) -> int:
+        return self.fluid_size + self.boundary_size
+
+    # ------------------------------------------------------------------
+    def step(self, dt: Optional[float] = None) -> float:
+        """Advance one frame; returns wall milliseconds (device-synced),
+        like SPHSystem::step (src/SPHSystem.cu:129-158)."""
+        dt = self.cfg.dt if dt is None else dt
+        t0 = time.perf_counter()
+        state, carry, metrics = self._jit_step(
+            self.state, self.carry, self.scene, jnp.float32(dt)
+        )
+        jax.block_until_ready(state)
+        ms = (time.perf_counter() - t0) * 1e3
+        self.state, self.carry = state, carry
+        self.metrics = metrics
+        self.frame += 1
+        self.total_ms += ms
+        return ms
+
+    def run(self, n_steps: int, dt: Optional[float] = None) -> Dict[str, Any]:
+        """Run n steps; returns summary statistics."""
+        times = [self.step(dt) for _ in range(n_steps)]
+        return {
+            "frames": n_steps,
+            "ms_per_frame": float(np.mean(times)),
+            "ms_median": float(np.median(times)),
+            "fps": 1e3 / max(float(np.mean(times)), 1e-9),
+            "last_metrics": jax.tree_util.tree_map(
+                lambda x: np.asarray(x).item(), self.metrics
+            ),
+        }
+
+    # ------------------------------------------------------------------
+    def restart(self, solver: Optional[str] = None) -> None:
+        """Rebuild fluid + carry from the scene constants, like keys 1/2/3
+        (src/main.cpp:223-239)."""
+        if solver is not None:
+            self.__init__(solver=solver, cfg=self.cfg)
+        else:
+            self.__init__(solver=self.solver_name, cfg=self.cfg)
