@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .grid import GridTables, active_view
+from ..parallel.mesh import constrain_cells
 
 
 class PairSource(NamedTuple):
@@ -54,11 +55,16 @@ def neighbor_reduce(
     matching pytree of per-pair (M, Ki, Kj, ...) contributions, which the
     engine sums over Kj and accumulates.
     """
-    i_raw = {k: active_view(g) for k, g in i_fields.items()}  # (M, Ki, ...)
+    # under parallel.mesh.spatial_sharding these constraints make GSPMD
+    # partition the whole pair computation along the active-cell axis
+    i_raw = {k: constrain_cells(active_view(g))
+             for k, g in i_fields.items()}  # (M, Ki, ...)
     i_view = {k: jnp.expand_dims(v, 2) for k, v in i_raw.items()}  # (M, Ki, 1, ..)
+    out_init = jax.tree_util.tree_map(constrain_cells, out_init)
+    neighbor_cells = constrain_cells(i_tables.neighbor_cells)
 
     def body(o, acc):
-        ncell = i_tables.neighbor_cells[:, o]  # (M,)
+        ncell = neighbor_cells[:, o]  # (M,)
         for src in sources:
             jslot = src.tables.cell2active[ncell]  # (M,) row into (Mj+2, K, ...)
             j_raw = {k: g[jslot] for k, g in src.grids.items()}  # (M, Kj, ...)

@@ -1,0 +1,8 @@
+from .mesh import (
+    AXIS,
+    constrain_cells,
+    current_mesh,
+    make_mesh,
+    replicate,
+    spatial_sharding,
+)

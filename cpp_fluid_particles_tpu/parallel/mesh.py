@@ -1,0 +1,75 @@
+"""Device-mesh spatial parallelism.
+
+The reference is strictly single-GPU (SURVEY.md §2.3: no DP/TP/PP, no
+communication backend). The TPU-native scaling dimension for SPH is
+*spatial domain decomposition*: the compacted active-cell axis (ops/grid.py)
+is ordered by flat cell id — x-major — so sharding it across a mesh axis
+splits space into contiguous x-slabs per device.
+
+Implementation is the idiomatic GSPMD recipe: the per-step (M, K, ...)
+cell-grid tensors get ``with_sharding_constraint(P("cells", ...))`` and XLA
+partitions the pair-interaction compute along cells, inserting the
+halo/all-gather collectives over ICI automatically. Particle-indexed (N,)
+state stays replicated (it is small relative to pair compute; a
+fully-sharded particle state is the round-2 optimisation).
+
+Activated via the ``spatial_sharding(mesh)`` context during trace time —
+solver code is unchanged.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from contextvars import ContextVar
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "cells"
+
+_ACTIVE_MESH: ContextVar[Optional[Mesh]] = ContextVar("sph_mesh",
+                                                      default=None)
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+@contextlib.contextmanager
+def spatial_sharding(mesh: Mesh):
+    """While active, the neighbor engine constrains per-cell tensors to be
+    sharded along ``mesh``'s 'cells' axis."""
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.reset(token)
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH.get()
+
+
+def constrain_cells(x: jax.Array) -> jax.Array:
+    """Shard a (M, ...) active-cell tensor along the mesh; no-op without an
+    active spatial_sharding context."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return x
+    spec = P(AXIS, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def replicate(x):
+    """Constrain a pytree to be replicated on the active mesh."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return x
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P())), x)

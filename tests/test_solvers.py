@@ -1,0 +1,127 @@
+"""Solver-level tests: golden trajectories vs brute force + invariants.
+
+Implements the test strategy the reference lacks (SURVEY.md §4): per-solver
+golden-step tests on a small particle block, plus long-run invariants
+(containment, stability, solver iteration bounds).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cpp_fluid_particles_tpu as cfp
+from cpp_fluid_particles_tpu.models import common as C
+import reference_impl as ref
+
+CFG = cfp.dam_break_config(max_active_cells=2048, max_per_cell=16)
+
+
+def small_block(n_side=6, origin=(0.35, 0.12, 0.35)):
+    s = CFG.spacing
+    return np.array(
+        [(origin[0] + s * i, origin[1] + s * j, origin[2] + s * k)
+         for i in range(n_side) for j in range(n_side) for k in range(n_side)],
+        np.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return C.build_scene(CFG)
+
+
+def test_wcsph_golden_vs_brute_force(scene):
+    """5 full WCSPH frames must track the all-pairs float64 reference."""
+    pos0 = small_block()
+    sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=pos0,
+                         warmup=False)
+    bpos = np.asarray(scene.b_pos, np.float64)
+    bmass = np.asarray(scene.b_mass, np.float64)
+    mass = np.full((pos0.shape[0],), CFG.m0, np.float64)
+    rpos, rvel = pos0.astype(np.float64), np.zeros_like(pos0, np.float64)
+
+    for step in range(5):
+        sim.step()
+        rpos, rvel, rrho, _ = ref.wcsph_step(rpos, rvel, mass, bpos, bmass,
+                                             CFG, CFG.dt)
+    np.testing.assert_allclose(np.asarray(sim.state.pos), rpos,
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sim.state.vel), rvel,
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sim.state.density), rrho,
+                               rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("solver", ["wcsph", "pbd", "dfsph"])
+def test_invariants_over_100_steps(solver):
+    sim = cfp.Simulation(solver=solver, cfg=CFG, fluid_pos=small_block(),
+                         warmup=True)
+    space = np.asarray(CFG.space_size)
+    for i in range(100):
+        sim.step()
+        if i % 25 == 0:
+            p = np.asarray(sim.state.pos)
+            assert np.isfinite(p).all(), f"NaN at step {i}"
+    p = np.asarray(sim.state.pos)
+    v = np.asarray(sim.state.vel)
+    assert np.isfinite(p).all() and np.isfinite(v).all()
+    assert (p >= 0).all() and (p <= 0.99 * space + 1e-6).all(), "containment"
+    assert int(sim.metrics["grid_overflow"]) == 0
+    # block dropped from rest: speeds stay physical (< free-fall of 1m x few)
+    assert np.abs(v).max() < 10.0
+    # settled-ish fluid should have bounded compression
+    rho = np.asarray(sim.state.density)
+    assert rho.max() < 2.0 * CFG.rho0
+
+
+def test_dfsph_iteration_bounds_and_errors():
+    sim = cfp.Simulation(solver="dfsph", cfg=CFG, fluid_pos=small_block(),
+                         warmup=True)
+    n = sim.fluid_size
+    for _ in range(20):
+        sim.step()
+        m = {k: float(np.asarray(v)) for k, v in sim.metrics.items()}
+        assert 1 <= m["divergence_iters"] <= CFG.dfsph_max_iter
+        assert 2 <= m["density_iters"] <= CFG.dfsph_max_iter
+        # on loop exit either converged below threshold or hit max iters
+        if m["divergence_iters"] < CFG.dfsph_max_iter:
+            assert m["divergence_error"] <= (
+                CFG.dfsph_divergence_threshold * n * CFG.rho0 * 1.001)
+        if m["density_iters"] < CFG.dfsph_max_iter:
+            assert m["density_error"] <= (
+                CFG.dfsph_density_threshold * n * CFG.rho0 * 1.001)
+
+
+def test_pbd_projection_limits_compression():
+    sim = cfp.Simulation(solver="pbd", cfg=CFG, fluid_pos=small_block(),
+                         warmup=True)
+    for _ in range(50):
+        sim.step(0.004)
+    rho = np.asarray(sim.state.density)
+    # PBD's constraint allows small residual compression per iteration
+    assert rho.max() < 1.25 * CFG.rho0
+
+
+def test_solvers_agree_roughly_at_start():
+    """Before significant dynamics, one step of each solver should move the
+    block consistently (gravity-dominated)."""
+    outs = {}
+    for solver in ["wcsph", "dfsph"]:
+        sim = cfp.Simulation(solver=solver, cfg=CFG, fluid_pos=small_block(),
+                             warmup=False)
+        sim.step()
+        outs[solver] = np.asarray(sim.state.pos)
+    # same gravity displacement dominates: dy = -g dt^2
+    np.testing.assert_allclose(outs["wcsph"], outs["dfsph"], atol=5e-4)
+
+
+def test_determinism():
+    a = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=small_block(),
+                       warmup=False)
+    b = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=small_block(),
+                       warmup=False)
+    for _ in range(10):
+        a.step(); b.step()
+    np.testing.assert_array_equal(np.asarray(a.state.pos),
+                                  np.asarray(b.state.pos))
