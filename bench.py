@@ -23,17 +23,9 @@ import numpy as np
 
 
 def _chain_ms(sim, n_steps: int, dt: float, fetch_baseline_ms: float) -> float:
-    import jax.numpy as jnp
-
-    state, carry = sim.state, sim.carry
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, carry, _m = sim._jit_step(state, carry, sim.scene,
-                                         jnp.float32(dt))
-    _ = np.asarray(state.pos)  # one host fetch forces the whole chain
-    total_ms = (time.perf_counter() - t0) * 1e3
-    sim.state, sim.carry = state, carry
-    return max(total_ms - fetch_baseline_ms, 0.0) / n_steps
+    """n steps in one lax.scan call; subtract the single dispatch+fetch."""
+    per_step = sim.run_scan(n_steps, dt)
+    return max(per_step - fetch_baseline_ms / n_steps, 0.0)
 
 
 def main() -> int:

@@ -63,6 +63,17 @@ class SimConfig:
     max_active_cells: int = 8192           # max fluid-occupied cells per step
     max_per_cell: int = 16                 # max fluid particles per cell
 
+    # --- execution engine ---
+    # "dense"     : ghosted dense cell grid, per-offset fused XLA passes
+    #               (fastest on the axon-tunneled TPU runtime; zero gathers)
+    # "pallas"    : dense grid + Pallas column kernels (candidates resident
+    #               in VMEM — the design for direct TPU runtimes)
+    # "interpret" : pallas in interpreter mode (CPU correctness testing)
+    # "reference" : compacted-cell gather engine (first implementation,
+    #               kept as a differential-testing oracle)
+    # "auto"      : dense
+    engine: str = "auto"
+
     # ------------------------------------------------------------------
     @property
     def cell_size(self) -> Tuple[int, int, int]:

@@ -1,0 +1,415 @@
+"""Dense-layout solver steps — the Pallas fast path for all three solvers.
+
+Same physics contract as models/{wcsph,dfsph,pbd}.py (each formula cites the
+same reference lines), but the per-step state lives in the ghosted dense
+cell grid (ops/dense.py): one stacked scatter in, all neighbor passes as
+Pallas column kernels (ops/pallas_passes.py), every intermediate update
+elementwise in dense space, one stacked gather out. No per-pass
+scatter/gather round trips, no XLA row gathers.
+
+Safety invariants used throughout: empty slots carry POS_PAD positions and
+zero masses, so (a) every pair term vanishes against them (mass_j factor +
+kernels zero outside support), and (b) a slot is "real" iff its x-position
+is < POS_GUARD, which gates the elementwise position clamps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..ops import pallas_passes as pp
+from ..ops.dense import (
+    DenseDims,
+    DenseIndex,
+    build_dense_index,
+    dims_for,
+    fill_dense,
+    ghosted_col_count,
+    read_dense,
+)
+from ..ops.grid import POS_PAD
+from ..state import FluidState
+from . import dfsph as dfsph_mod
+from . import pbd as pbd_mod
+
+F32 = jnp.float32
+POS_GUARD = POS_PAD / 2.0
+
+
+def _bd(scene_d, engine):
+    """Boundary operand for the executor: ghosted dense for 'xla', prebuilt
+    candidate tensor for the Pallas executors."""
+    return scene_d.bd if engine == "xla" else scene_d.bd_jcols
+
+
+class DenseScene(NamedTuple):
+    """Static boundary data [posx, posy, posz, mass]: ghosted dense form
+    (for the XLA executor) and the prebuilt candidate tensor
+    (NC, 4, CZ, 27Kb) for the Pallas column kernels."""
+
+    bd: jnp.ndarray
+    bd_jcols: jnp.ndarray
+
+
+def build_dense_scene(cfg: SimConfig, b_pos: np.ndarray, kb: int,
+                      engine: str = "xla") -> DenseScene:
+    """Akinci boundary mass (src/SPHSystem.cu:92-105) computed with the
+    boundary grid itself as the only neighbor source."""
+    dims_b = dims_for(cfg, kb)
+    b_pos = jnp.asarray(b_pos, F32)
+    idx = build_dense_index(b_pos, cfg, dims_b)
+    ones = jnp.ones((b_pos.shape[0],), F32)
+    fl = fill_dense(idx, [b_pos[:, 0], b_pos[:, 1], b_pos[:, 2], ones],
+                    [POS_PAD, POS_PAD, POS_PAD, 0.0], dims_b)
+    # the "boundary" j-source contributes nothing here (zero masses): the
+    # W-sum runs boundary-vs-boundary through the fluid slot
+    zero_bd = fl.at[3].set(0.0)
+    if engine != "xla":
+        zero_bd = pp.build_j(zero_bd, dims_b)
+    wsum = pp.density_pass(fl, zero_bd, idx.col_count, dims_b,
+                           dims_b, cfg, engine)
+    b_mass = cfg.rho_boundary / jnp.maximum(cfg.epsilon,
+                                            read_dense(idx, wsum[None])[0])
+    bd = fill_dense(idx, [b_pos[:, 0], b_pos[:, 1], b_pos[:, 2], b_mass],
+                    [POS_PAD, POS_PAD, POS_PAD, 0.0], dims_b)
+    return DenseScene(bd=bd, bd_jcols=pp.build_j(bd, dims_b))
+
+
+def boundary_k(b_pos: np.ndarray, cfg: SimConfig) -> int:
+    coords = np.floor_divide(np.asarray(b_pos), cfg.cell_length).astype(np.int64)
+    cx, cy, cz = cfg.cell_size
+    flat = (coords[:, 0] * cy + coords[:, 1]) * cz + coords[:, 2]
+    _, counts = np.unique(flat, return_counts=True)
+    return int(counts.max())
+
+
+# ----------------------------------------------------------------------
+# elementwise helpers (dense space)
+# ----------------------------------------------------------------------
+
+def _real_slot(pos_d: jnp.ndarray) -> jnp.ndarray:
+    return pos_d[0] < POS_GUARD
+
+
+def _clamp_pos_vel(pos_d, vel_d, cfg):
+    """Wall clamp + inward-velocity zeroing (src/BasicSPHSolver.cu:85-96),
+    gated to real slots so padded positions stay far away."""
+    real = _real_slot(pos_d)
+    out_p, out_v = [], []
+    for c in range(3):
+        hi = 0.99 * cfg.space_size[c]
+        p = pos_d[c]
+        v = vel_d[c]
+        at_lo = p <= 0.0
+        at_hi = p >= hi
+        pc = jnp.clip(p, 0.0, hi)
+        vc = jnp.where(at_lo, jnp.maximum(v, 0.0), v)
+        vc = jnp.where(at_hi, jnp.minimum(vc, 0.0), vc)
+        out_p.append(jnp.where(real, pc, p))
+        out_v.append(jnp.where(real, vc, v))
+    return jnp.stack(out_p), jnp.stack(out_v)
+
+
+def _clamp_pos_only(pos_d, cfg):
+    """Position-only clamp used inside PBD projection
+    (src/PBDSolver.cu:212-223)."""
+    real = _real_slot(pos_d)
+    out = []
+    for c in range(3):
+        hi = 0.99 * cfg.space_size[c]
+        out.append(jnp.where(real, jnp.clip(pos_d[c], 0.0, hi), pos_d[c]))
+    return jnp.stack(out)
+
+
+def _accel_clamp(a_d, cfg):
+    """MAX_A acceleration clamp (src/BasicSPHSolver.cu:159-162)."""
+    norm = jnp.sqrt(a_d[0] ** 2 + a_d[1] ** 2 + a_d[2] ** 2)
+    scale = jnp.where(norm > cfg.max_accel,
+                      cfg.max_accel / jnp.maximum(norm, cfg.epsilon), 1.0)
+    return a_d * scale[None]
+
+
+def _grav(vel_d, cfg, dt):
+    g = jnp.asarray(cfg.gravity, F32)
+    return vel_d + dt * g[:, None, None, None, None]
+
+
+def _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims, dims_b, cfg,
+                    dt, engine):
+    """handleSurface (src/BasicSPHSolver.cu:262-275) in dense space."""
+    pm = jnp.concatenate([pos_d, mass_d], 0)
+    cg4 = pp.color_gradient_pass(pm, _bd(scene_d, engine), colc, dims, dims_b, cfg,
+                                 engine)
+    cg = cg4[0:3] / jnp.maximum(cfg.epsilon, cg4[3])[None]
+    sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
+                         dims, cfg, engine)
+    return vel_d + sa * dt
+
+
+def _fallback(state: FluidState, cfg, dt):
+    """Trajectory for particles that fell out of the grid: gravity + advect
+    + clamp (they receive no pair forces — mirrors an isolated particle)."""
+    vel = state.vel + dt * jnp.asarray(cfg.gravity, F32)
+    space = jnp.asarray(cfg.space_size, F32)
+    pos = state.pos + dt * vel
+    at_lo = pos <= 0.0
+    at_hi = pos >= 0.99 * space
+    pos = jnp.clip(pos, 0.0, 0.99 * space)
+    vel = jnp.where(at_lo, jnp.maximum(vel, 0.0), vel)
+    vel = jnp.where(at_hi, jnp.minimum(vel, 0.0), vel)
+    return pos, vel
+
+
+def _merge_back(idx: DenseIndex, gathered: jnp.ndarray, fb_pos, fb_vel):
+    """gathered: (F>=6, N) rows [pos3, vel3, ...]; invalid particles take the
+    fallback trajectory."""
+    v = idx.valid
+    pos = jnp.where(v[:, None], gathered[0:3].T, fb_pos)
+    vel = jnp.where(v[:, None], gathered[3:6].T, fb_vel)
+    return pos, vel
+
+
+# ----------------------------------------------------------------------
+# WCSPH (src/BasicSPHSolver.cu:237-260)
+# ----------------------------------------------------------------------
+
+def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
+               cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
+               engine: str = "xla"):
+    idx = build_dense_index(state.pos, cfg, dims)
+    colc = idx.col_count
+    base = fill_dense(
+        idx,
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
+         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]],
+        [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0],
+        dims,
+    )
+    pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
+
+    vel_d = _grav(vel_d, cfg, dt)
+    pm_v = jnp.concatenate([pos_d, mass_d, vel_d], 0)
+    vel_d = vel_d + pp.viscosity_pass(pm_v, colc, dims, cfg, engine) \
+        * (cfg.visc * dt)
+    if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
+        vel_d = _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims,
+                                dims_b, cfg, dt, engine)
+
+    pm = jnp.concatenate([pos_d, mass_d], 0)
+    rho = pp.density_pass(pm, _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+    p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
+    a = pp.pressure_force_pass(
+        jnp.concatenate([pos_d, mass_d, rho[None], p[None]], 0),
+        _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+    vel_d = vel_d + _accel_clamp(a, cfg) * dt
+
+    pos_d = pos_d + dt * vel_d
+    pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
+
+    out = read_dense(idx, jnp.concatenate(
+        [pos_d, vel_d, rho[None], p[None]], 0))
+    fb_pos, fb_vel = _fallback(state, cfg, dt)
+    pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
+    new_state = state._replace(pos=pos, vel=vel, density=out[6],
+                               pressure=out[7])
+    metrics = {"grid_overflow": idx.overflow,
+               "active_cells": jnp.sum(idx.col_count > 0)}
+    return new_state, carry, metrics
+
+
+# ----------------------------------------------------------------------
+# DFSPH (src/DFSPHSolver.cu:33-72)
+# ----------------------------------------------------------------------
+
+def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
+               cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
+               engine: str = "xla"):
+    idx = build_dense_index(state.pos, cfg, dims)
+    colc = idx.col_count
+    base = fill_dense(
+        idx,
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
+         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+         carry.warm_stiff],
+        [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0],
+        dims,
+    )
+    pos_d, mass_d, vel_d, warm_d = base[0:3], base[3:4], base[4:7], base[7]
+    pm = jnp.concatenate([pos_d, mass_d], 0)
+
+    da = pp.density_alpha_pass(pm, _bd(scene_d, engine), colc, dims, dims_b, cfg,
+                               engine)
+    rho = da[0]
+    alpha = -1.0 / jnp.maximum(
+        cfg.epsilon, da[1] ** 2 + da[2] ** 2 + da[3] ** 2 + da[4])
+
+    n = state.n
+    f32max = jnp.float32(jnp.finfo(jnp.float32).max)
+
+    def div_pass(v_d):
+        return pp.divergence_pass(jnp.concatenate([pm, v_d], 0), _bd(scene_d, engine),
+                                  colc, dims, dims_b, cfg, engine)
+
+    def sa_pass(s_d):
+        return pp.stiffness_accel_pass(
+            jnp.concatenate([pm, s_d[None]], 0), _bd(scene_d, engine), colc, dims,
+            dims_b, cfg, engine)
+
+    # --- divergence solve (src/DFSPHSolver.cu:331-363) ---
+    tau_div = cfg.dfsph_divergence_threshold * n * cfg.rho0
+
+    def div_error(v_d):
+        e = div_pass(v_d)
+        err = jnp.maximum(0.0, e)
+        err = jnp.where((rho + dt * err < cfg.rho0) & (rho <= cfg.rho0),
+                        0.0, err)
+        return err, err * alpha
+
+    err0, stiff0 = div_error(vel_d)
+
+    def div_cond(c):
+        it, _, _, total = c
+        return ((it < 1) | (total > tau_div)) & (it < cfg.dfsph_max_iter)
+
+    def div_body(c):
+        it, v, s, _ = c
+        v = v + sa_pass(s)
+        err, s = div_error(v)
+        return it + 1, v, s, jnp.sum(jnp.abs(err))
+
+    div_it, vel_d, _, div_total = jax.lax.while_loop(
+        div_cond, div_body, (jnp.int32(0), vel_d, stiff0, f32max))
+
+    # --- non-pressure forces ---
+    vel_d = _grav(vel_d, cfg, dt)
+    vel_d = vel_d + pp.viscosity_pass(
+        jnp.concatenate([pm, vel_d], 0), colc, dims, cfg, engine) \
+        * (cfg.visc * dt)
+    if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
+        vel_d = _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims,
+                                dims_b, cfg, dt, engine)
+
+    # --- density solve with warm start (src/DFSPHSolver.cu:160-210) ---
+    tau_den = cfg.dfsph_density_threshold * n * cfg.rho0
+
+    def den_error(v_d):
+        e = div_pass(v_d)
+        err = jnp.maximum(0.0, dt * e + rho - cfg.rho0)
+        return err, err * alpha
+
+    vel_d = vel_d + sa_pass(warm_d)
+    err0, stiff0 = den_error(vel_d)
+    warm_d = stiff0
+
+    def den_cond(c):
+        it, _, _, _, total = c
+        return ((it < 2) | (total > tau_den)) & (it < cfg.dfsph_max_iter)
+
+    def den_body(c):
+        it, v, s, w, total = c
+        v = v + sa_pass(s) / dt
+        err, s = den_error(v)
+        w = w + s
+        it = it + 1
+        total = jnp.where(it >= 2, jnp.sum(jnp.abs(err)), total)
+        return it, v, s, w, total
+
+    den_it, vel_d, _, warm_d, den_total = jax.lax.while_loop(
+        den_cond, den_body, (jnp.int32(0), vel_d, stiff0, warm_d, f32max))
+
+    # --- advect ---
+    pos_d = pos_d + dt * vel_d
+    pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
+
+    out = read_dense(idx, jnp.concatenate(
+        [pos_d, vel_d, rho[None], warm_d[None]], 0))
+    fb_pos, fb_vel = _fallback(state, cfg, dt)
+    pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
+    new_state = state._replace(pos=pos, vel=vel, density=out[6])
+    new_carry = dfsph_mod.DFSPHCarry(warm_stiff=out[7])
+    metrics = {
+        "grid_overflow": idx.overflow,
+        "active_cells": jnp.sum(idx.col_count > 0),
+        "divergence_iters": div_it,
+        "density_iters": den_it,
+        "divergence_error": div_total,
+        "density_error": den_total,
+    }
+    return new_state, new_carry, metrics
+
+
+# ----------------------------------------------------------------------
+# PBD (src/PBDSolver.cu:34-73)
+# ----------------------------------------------------------------------
+
+def pbd_step(state: FluidState, carry, scene_d: DenseScene,
+             cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
+             engine: str = "xla"):
+    idx = build_dense_index(state.pos, cfg, dims)
+    colc = idx.col_count
+    base = fill_dense(
+        idx,
+        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
+         carry.pos_last[:, 0], carry.pos_last[:, 1], carry.pos_last[:, 2]],
+        [POS_PAD, POS_PAD, POS_PAD, 0.0, POS_PAD, POS_PAD, POS_PAD],
+        dims,
+    )
+    pos_d, mass_d, plast_d = base[0:3], base[3:4], base[4:7]
+
+    # --- projection, fixed maxIter iterations (src/PBDSolver.cu:225-258) ---
+    def project_body(_, c):
+        p_d, _ = c
+        lam5 = pp.pbd_lambda_pass(jnp.concatenate([p_d, mass_d], 0),
+                                  _bd(scene_d, engine), colc, dims, dims_b, cfg,
+                                  engine)
+        rho = lam5[0]
+        lam = jnp.where(
+            rho > cfg.rho0,
+            -(rho / cfg.rho0 - 1.0)
+            / (lam5[1] ** 2 + lam5[2] ** 2 + lam5[3] ** 2 + lam5[4]
+               + cfg.epsilon),
+            0.0,
+        ) * cfg.pbd_relaxation
+        dp = pp.stiffness_accel_pass(
+            jnp.concatenate([p_d, mass_d, lam[None]], 0), _bd(scene_d, engine), colc,
+            dims, dims_b, cfg, engine) / cfg.rho0
+        p_d = _clamp_pos_only(p_d + dp, cfg)
+        return p_d, rho
+
+    zero_rho = jnp.zeros(pos_d.shape[1:], F32)
+    pos_d, rho = jax.lax.fori_loop(0, cfg.pbd_max_iter, project_body,
+                                   (pos_d, zero_rho))
+
+    # --- velocity from position delta (src/PBDSolver.cu:55-60) ---
+    vel_d = (pos_d - plast_d) / dt
+    # --- XSPH viscosity on current positions (src/PBDSolver.cu:89-125) ---
+    vel_d = vel_d + pp.xsph_pass(
+        jnp.concatenate([pos_d, mass_d, vel_d], 0), colc, dims, cfg,
+        engine) * (cfg.pbd_xsph_c / cfg.rho0)
+    if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
+        vel_d = _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims,
+                                dims_b, cfg, dt, engine)
+    vel_d = _grav(vel_d, cfg, dt)
+
+    # --- remember + predict (src/PBDSolver.cu:71-79) ---
+    plast_d = pos_d
+    pos_d = pos_d + dt * vel_d
+    pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
+
+    out = read_dense(idx, jnp.concatenate(
+        [pos_d, vel_d, rho[None], plast_d], 0))
+    fb_pos, fb_vel = _fallback(state, cfg, dt)
+    pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
+    pos_last = jnp.where(idx.valid[:, None], out[7:10].T, state.pos)
+    new_state = state._replace(pos=pos, vel=vel, density=out[6])
+    metrics = {"grid_overflow": idx.overflow,
+               "active_cells": jnp.sum(idx.col_count > 0)}
+    return new_state, pbd_mod.PBDCarry(pos_last=pos_last), metrics
+
+
+DENSE_STEPS = {"wcsph": wcsph_step, "dfsph": dfsph_step, "pbd": pbd_step}

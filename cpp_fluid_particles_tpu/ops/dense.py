@@ -1,0 +1,139 @@
+"""Dense ghosted cell grid — the data layout for the Pallas fast path.
+
+Layout: one flat slot array per particle set with shape
+``(F, (CX+2) * (CY+2) * (CZ+2) * K)`` viewed as ``(F, CX+2, CY+2, (CZ+2)*K)``
+— a one-cell ghost ring on every side so the Pallas column kernel can DMA
+3x3-column windows without bounds checks, and z fused with the per-cell slot
+axis K so the minor dimension is lane-sized (for the default dam config
+(CZ+2)*K = 27*16 = 432).
+
+Unlike ops/grid.py (compacted active cells + XLA row gathers), this layout
+has NO indexed reads in the hot path: the per-step cost is one stacked
+scatter in, one stacked gather out, and the pair passes are Pallas kernels
+over contiguous windows.
+
+Cell convention still matches the reference (src/CUDAFunctions.cuh:64-70);
+particles out of the grid or beyond K-per-cell go to a trash slot and do not
+interact (reported in ``overflow``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from .grid import POS_PAD, cell_coords
+
+F32 = jnp.float32
+
+
+class DenseDims(NamedTuple):
+    cx: int
+    cy: int
+    cz: int
+    k: int
+
+    @property
+    def gx(self) -> int:          # ghosted extents
+        return self.cx + 2
+
+    @property
+    def gy(self) -> int:
+        return self.cy + 2
+
+    @property
+    def gz(self) -> int:
+        return self.cz + 2
+
+    @property
+    def zk(self) -> int:
+        return self.gz * self.k
+
+    @property
+    def total(self) -> int:
+        return self.gx * self.gy * self.zk
+
+
+def dims_for(cfg: SimConfig, k: int | None = None) -> DenseDims:
+    cx, cy, cz = cfg.cell_size
+    return DenseDims(cx, cy, cz, cfg.max_per_cell if k is None else k)
+
+
+class DenseIndex(NamedTuple):
+    """Per-step particle -> dense-slot assignment."""
+
+    slots: jnp.ndarray       # (N,) int32 into the flat ghosted array; trash = total
+    valid: jnp.ndarray       # (N,) bool
+    col_count: jnp.ndarray   # (CX, CY) int32 fluid count per real column
+    overflow: jnp.ndarray    # () int32
+
+
+def build_dense_index(pos: jnp.ndarray, cfg: SimConfig,
+                      dims: DenseDims) -> DenseIndex:
+    """cell ids -> within-cell ranks (stable argsort + run-length scan) ->
+    ghosted slot indices. Replaces the reference's counting sort
+    (src/SPHSystem.cu:114-127) without reordering the state."""
+    n = pos.shape[0]
+    c = cell_coords(pos, cfg)                     # (N, 3) truncation like ref
+    inb = ((c[:, 0] >= 0) & (c[:, 0] < dims.cx)
+           & (c[:, 1] >= 0) & (c[:, 1] < dims.cy)
+           & (c[:, 2] >= 0) & (c[:, 2] < dims.cz))
+    cc = jnp.clip(c, 0, jnp.array([dims.cx - 1, dims.cy - 1, dims.cz - 1]))
+    cell = (cc[:, 0] * dims.cy + cc[:, 1]) * dims.cz + cc[:, 2]
+    key = jnp.where(inb, cell, dims.cx * dims.cy * dims.cz)
+
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    newrun = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    run_start = jax.lax.cummax(jnp.where(newrun, iota, 0))
+    rank_sorted = iota - run_start
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+    valid = inb & (rank < dims.k)
+    gslot = (((cc[:, 0] + 1) * dims.gy + (cc[:, 1] + 1)) * dims.zk
+             + (cc[:, 2] + 1) * dims.k + rank)
+    slots = jnp.where(valid, gslot, dims.total).astype(jnp.int32)
+
+    colid = cc[:, 0] * dims.cy + cc[:, 1]
+    col_count = jnp.bincount(jnp.where(valid, colid, dims.cx * dims.cy),
+                             length=dims.cx * dims.cy + 1)[:-1]
+    overflow = jnp.sum(inb & ~valid).astype(jnp.int32)
+    return DenseIndex(slots=slots, valid=valid,
+                      col_count=col_count.reshape(dims.cx, dims.cy)
+                      .astype(jnp.int32),
+                      overflow=overflow)
+
+
+def fill_dense(idx: DenseIndex, fields: Sequence[jnp.ndarray],
+               fills: Sequence[float], dims: DenseDims) -> jnp.ndarray:
+    """Stack (N,) fields -> (F, GX, GY, ZK) dense arrays in ONE scatter.
+
+    fills: per-field empty-slot value (POS_PAD for position components so
+    padded slots never interact; 0 otherwise).
+    """
+    f = len(fields)
+    vals = jnp.stack([jnp.asarray(x, F32) for x in fields], 0)      # (F, N)
+    init = jnp.broadcast_to(
+        jnp.asarray(fills, F32)[:, None], (f, dims.total + 1))
+    dense = init.at[:, idx.slots].set(vals, mode="drop")
+    return dense[:, : dims.total].reshape(
+        f, dims.gx, dims.gy, dims.gz, dims.k)
+
+
+def read_dense(idx: DenseIndex, dense: jnp.ndarray,
+               fill: float = 0.0) -> jnp.ndarray:
+    """(F, GX, GY, GZ, K) -> (F, N) per-particle values in ONE gather."""
+    f = dense.shape[0]
+    flat = dense.reshape(f, -1)
+    out = flat[:, jnp.minimum(idx.slots, flat.shape[1] - 1)]
+    return jnp.where(idx.valid[None, :], out, fill)
+
+
+def ghosted_col_count(idx: DenseIndex) -> jnp.ndarray:
+    """(CX, CY) -> (GX, GY) with a zero ghost ring."""
+    return jnp.pad(idx.col_count, 1)

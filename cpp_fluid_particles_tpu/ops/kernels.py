@@ -85,6 +85,28 @@ def grad_w_surface_tension(rvec: jnp.ndarray, h: float) -> jnp.ndarray:
     return coef[..., None] * rvec
 
 
+def grad_w_cubic_coef(r: jnp.ndarray, h: float) -> jnp.ndarray:
+    """Scalar multiplier c(r) with grad W = c(r) * rvec — component form of
+    ``grad_w_cubic`` for kernels that carry vector components separately
+    (the Pallas engine's layout)."""
+    q = 2.0 * r / h
+    f = jnp.where(q > 1.0, (12.0 - 3.0 * q) * q - 12.0, (9.0 * q - 12.0) * q)
+    return jnp.where(q <= 2.0, f / (PI * (q + EPS) * h ** 5), 0.0)
+
+
+def grad_w_surface_coef(r: jnp.ndarray, h: float) -> jnp.ndarray:
+    """Scalar multiplier for the Akinci surface-tension kernel gradient
+    (component form of ``grad_w_surface_tension``)."""
+    hx = h - r
+    piece = jnp.where(
+        2.0 * r <= h,
+        2.0 * hx ** 3 * r ** 3 - 0.0156 * h ** 6,
+        hx ** 3 * r ** 3,
+    )
+    denom = PI * h ** 9 * jnp.maximum(r, EPS)
+    return jnp.where((r >= EPS) & (r <= h), -136.0241 * piece / denom, 0.0)
+
+
 def w_cubic_max(h: float) -> float:
     """Peak value the cubic spline would take at q=0 if self-contribution
     were not excluded; handy for tests."""

@@ -1,0 +1,461 @@
+"""Pallas column kernels — the TPU fast path for all neighbor passes.
+
+Replaces the reference's per-thread 27-cell scans (src/BasicSPHSolver.cu:62-70
+et al.) with one Pallas program per (x, y) cell column: the program DMAs the
+3x3 neighbor-column window of the ghosted dense grid (ops/dense.py) into
+VMEM, builds the per-z 27-cell candidate tensor by static slicing (zero
+gathers), and evaluates the pair physics as dense (CZ, K, 27K) VPU blocks
+that never touch HBM. Empty columns are skipped via a scalar-prefetched
+occupancy table.
+
+Every pass is a `body(i, j, jb) -> (n_out, CZ, K)` function built from the
+same geometry helpers; bodies carry vector quantities as separate
+components so the minor dimension stays lane-sized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from . import kernels as kn
+from .dense import DenseDims
+
+F32 = jnp.float32
+
+
+# ----------------------------------------------------------------------
+# window -> (i, j) tensor prep
+# ----------------------------------------------------------------------
+
+# ----------------------------------------------------------------------
+# XLA-side candidate-tensor construction
+#
+# Mosaic tiles the last two dims of every ref (even in HBM) and rejects
+# DMA slices that are not tile-aligned, so arrays whose minor dims are
+# (CZ, K) < (8, 128) cannot be window-DMA'd from inside a kernel. Instead
+# the i/j tensors are assembled in XLA land (pure shifted-slice stacking —
+# contiguous copies at HBM bandwidth) and the Pallas kernel is a plain
+# BlockSpec-pipelined compute over columns.
+# ----------------------------------------------------------------------
+
+def build_i(dense: jnp.ndarray, dims: DenseDims) -> jnp.ndarray:
+    """(F, GX, GY, GZ, K) ghosted -> I: (NC, F, CZ, K), NC = CX*CY."""
+    f = dense.shape[0]
+    core = dense[:, 1:1 + dims.cx, 1:1 + dims.cy, 1:1 + dims.cz, :]
+    return core.transpose(1, 2, 0, 3, 4).reshape(
+        dims.cx * dims.cy, f, dims.cz, dims.k)
+
+
+def build_j(dense: jnp.ndarray, dims: DenseDims) -> jnp.ndarray:
+    """(F, GX, GY, GZ, K) ghosted -> J: (NC, F, CZ, 27K) — for each real
+    column, the per-z candidate slots of the 27-cell stencil, in (dx, dy,
+    dz) order."""
+    f = dense.shape[0]
+    tiles = []
+    for dx in range(3):
+        for dy in range(3):
+            for s in range(3):
+                tiles.append(dense[:, dx:dx + dims.cx, dy:dy + dims.cy,
+                                   s:s + dims.cz, :])
+    j = jnp.stack(tiles, axis=-2)           # (F, CX, CY, CZ, 27, K)
+    return j.transpose(1, 2, 0, 3, 4, 5).reshape(
+        dims.cx * dims.cy, f, dims.cz, 27 * dims.k)
+
+
+def cols_to_ghosted(cols: jnp.ndarray, dims: DenseDims) -> jnp.ndarray:
+    """(NC, n_out, CZ, K) kernel output -> ghosted (n_out, GX, GY, GZ, K)
+    with a zero ghost ring (composable as a later pass input)."""
+    n_out = cols.shape[1]
+    core = cols.reshape(dims.cx, dims.cy, n_out, dims.cz, dims.k)
+    core = core.transpose(2, 0, 1, 3, 4)
+    return jnp.pad(core, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+
+def column_pass(
+    body: Callable,
+    i_cols: jnp.ndarray,               # (NC, Fi, CZ, K)
+    j_cols: jnp.ndarray,               # (NC, Fi, CZ, 27K)
+    col_count: jnp.ndarray,            # (CX, CY) int32
+    dims: DenseDims,
+    n_out: int,
+    jb_cols: Optional[jnp.ndarray] = None,  # (NC, Fb, CZ, 27Kb)
+    dims_b: Optional[DenseDims] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Evaluate ``body`` for every real cell column (empty ones skipped via
+    scalar-prefetched occupancy); returns (NC, n_out, CZ, K)."""
+    nc, fi, cz, k = i_cols.shape
+    has_b = jb_cols is not None
+    kb = dims_b.k if has_b else 0
+    fb = jb_cols.shape[1] if has_b else 0
+
+    def kernel(cnt_ref, *refs):
+        if has_b:
+            i_ref, j_ref, jb_ref, out_ref = refs
+        else:
+            i_ref, j_ref, out_ref = refs
+            jb_ref = None
+        c = pl.program_id(0)
+        occupied = cnt_ref[c] > 0
+
+        @pl.when(jnp.logical_not(occupied))
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(occupied)
+        def _():
+            jb = jb_ref[0] if has_b else None
+            out_ref[0] = body(i_ref[0], j_ref[0], jb)
+
+    in_specs = [
+        pl.BlockSpec((1, fi, cz, k), lambda c, *_: (c, 0, 0, 0)),
+        pl.BlockSpec((1, fi, cz, 27 * k), lambda c, *_: (c, 0, 0, 0)),
+    ]
+    operands = [i_cols, j_cols]
+    if has_b:
+        in_specs.append(
+            pl.BlockSpec((1, fb, cz, 27 * kb), lambda c, *_: (c, 0, 0, 0)))
+        operands.append(jb_cols)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n_out, cz, k), lambda c, *_: (c, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nc, n_out, cz, k), F32),
+        interpret=interpret,
+    )(col_count.reshape(-1).astype(jnp.int32), *operands)
+
+
+# ----------------------------------------------------------------------
+# geometry helper used by all bodies
+# ----------------------------------------------------------------------
+
+class Pair(NamedTuple):
+    dx: jnp.ndarray   # (CZ, K, 27K) i - j separations per component
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    r: jnp.ndarray
+
+
+def _geom(i, j) -> Pair:
+    """i, j: stacked field tensors whose first three rows are position
+    components. Returns pair separations/distance (CZ, K, 27Kj)."""
+    dx = i[0][:, :, None] - j[0][:, None, :]
+    dy = i[1][:, :, None] - j[1][:, None, :]
+    dz = i[2][:, :, None] - j[2][:, None, :]
+    r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return Pair(dx, dy, dz, r)
+
+
+def _jb(v):
+    return v[:, None, :]
+
+
+def _ii(v):
+    return v[:, :, None]
+
+
+def column_pass_xla(
+    body: Callable,
+    fl: jnp.ndarray,                  # (Fi, GX, GY, GZ, K) ghosted
+    dims: DenseDims,
+    n_out: int,
+    bd: Optional[jnp.ndarray] = None,  # (Fb, GX, GY, GZ, Kb) ghosted
+    dims_b: Optional[DenseDims] = None,
+) -> jnp.ndarray:
+    """Pure-XLA executor for the same pass bodies: loop over the 27 stencil
+    offsets, each a dynamic slice of the ghosted dense grid (zero gathers),
+    with the pair math fusing into a single producer->reduce loop per
+    offset. On runtimes where the Pallas custom-call path is slow (e.g. the
+    axon relay), this is the fast path; on real TPUs column_pass keeps the
+    candidates resident in VMEM and wins.
+
+    The bodies are shape-generic: here i/j leaves are (C, K)/(C, Kj) with
+    C = CX*CY*CZ flattened cells instead of per-column (CZ, K).
+    """
+    fi = fl.shape[0]
+    c = dims.cx * dims.cy * dims.cz
+    i_flat = fl[:, 1:-1, 1:-1, 1:-1, :].reshape(fi, c, dims.k)
+    has_b = bd is not None
+
+    offs = jnp.asarray(
+        [(o // 9, (o % 9) // 3, o % 3) for o in range(27)], jnp.int32)
+
+    def offset_slice(dense, o, k):
+        f = dense.shape[0]
+        sl = jax.lax.dynamic_slice(
+            dense, (0, offs[o, 0], offs[o, 1], offs[o, 2], 0),
+            (f, dims.cx, dims.cy, dims.cz, k))
+        return sl.reshape(f, c, k)
+
+    def fold(o, acc):
+        j_o = offset_slice(fl, o, dims.k)
+        jb_o = offset_slice(bd, o, dims_b.k) if has_b else None
+        return acc + body(i_flat, j_o, jb_o)
+
+    acc = jax.lax.fori_loop(
+        0, 27, fold, jnp.zeros((n_out, c, dims.k), F32))
+    core = acc.reshape(n_out, dims.cx, dims.cy, dims.cz, dims.k)
+    return jnp.pad(core, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+
+def _run(body, fl, bd, col_count, dims, dims_b, n_out, engine):
+    """Dispatch a pass body to an executor.
+
+    engine: 'xla' (per-offset dynamic slices, no Pallas), 'pallas'
+    (column kernels, candidates in VMEM), or 'interpret' (Pallas
+    interpreter, for CPU tests).
+
+    fl: ghosted fluid dense (F, GX, GY, GZ, K). bd: for 'xla' the ghosted
+    boundary dense (Fb, GX, GY, GZ, Kb); for 'pallas'/'interpret' the
+    PREBUILT candidate tensor (NC, Fb, CZ, 27Kb) from build_j. Returns a
+    ghosted (n_out, GX, GY, GZ, K) result."""
+    if engine == "xla":
+        return column_pass_xla(body, fl, dims, n_out, bd, dims_b)
+    i_cols = build_i(fl, dims)
+    j_cols = build_j(fl, dims)
+    out = column_pass(body, i_cols, j_cols, col_count, dims, n_out,
+                      bd, dims_b, interpret=(engine == "interpret"))
+    return cols_to_ghosted(out, dims)
+
+
+# ----------------------------------------------------------------------
+# physics pass bodies
+#
+# Field row conventions (stacked along axis 0 of the dense arrays):
+#   positions always rows 0..2, mass row 3; extras documented per pass.
+# ----------------------------------------------------------------------
+
+def density_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
+    """rho = sum m_j W (fluid + boundary) — src/BasicSPHSolver.cu:54-83.
+    fl: [pos3, mass]; bd: [pos3, mass]. Returns ghosted (GX,GY,GZ,K)."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        rho = jnp.sum(_jb(j[3]) * kn.w_cubic(g.r, h), -1)
+        gb = _geom(i, jb)
+        rho = rho + jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)
+        return rho[None]
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 1, engine)[0]
+
+
+def pressure_force_pass(fl, bd, col_count, dims, dims_b, cfg,
+                        engine="xla"):
+    """Symmetric pressure accel (src/BasicSPHSolver.cu:113-165), WITHOUT the
+    MAX_A clamp (applied elementwise by the caller).
+    fl: [pos3, mass, rho, p]; bd: [pos3, mass]. Returns (3, ghosted)."""
+    h, eps = cfg.radius, cfg.epsilon
+
+    def body(i, j, jb):
+        over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
+        g = _geom(i, j)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        over_j = _jb(j[5] / jnp.maximum(eps, j[4] * j[4]))
+        coef = -_jb(j[3]) * (over_i + over_j) * cw
+        ax = jnp.sum(coef * g.dx, -1)
+        ay = jnp.sum(coef * g.dy, -1)
+        az = jnp.sum(coef * g.dz, -1)
+        gb = _geom(i, jb)
+        cwb = kn.grad_w_cubic_coef(gb.r, h)
+        coefb = -_jb(jb[3]) * over_i * cwb
+        ax = ax + jnp.sum(coefb * gb.dx, -1)
+        ay = ay + jnp.sum(coefb * gb.dy, -1)
+        az = az + jnp.sum(coefb * gb.dz, -1)
+        return jnp.stack([ax, ay, az])
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 3, engine)
+
+
+def viscosity_pass(fl, col_count, dims, cfg, engine="xla"):
+    """Mueller viscosity sums (src/BasicSPHSolver.cu:183-225), fluid only;
+    caller scales by visc*dt. fl: [pos3, mass, vel3]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        coef = _jb(j[3]) * kn.w_visc_laplacian(g.r, h) / cfg.rho0
+        dvx = jnp.sum(coef * (_jb(j[4]) - _ii(i[4])), -1)
+        dvy = jnp.sum(coef * (_jb(j[5]) - _ii(i[5])), -1)
+        dvz = jnp.sum(coef * (_jb(j[6]) - _ii(i[6])), -1)
+        return jnp.stack([dvx, dvy, dvz])
+
+    return _run(body, fl, None, col_count, dims, None, 3, engine)
+
+
+def xsph_pass(fl, col_count, dims, cfg, engine="xla"):
+    """XSPH viscosity sums (src/PBDSolver.cu:89-125), fluid only; caller
+    scales by c/rho0. fl: [pos3, mass, vel3]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        coef = _jb(j[3]) * kn.w_cubic(g.r, h)
+        dvx = jnp.sum(coef * (_jb(j[4]) - _ii(i[4])), -1)
+        dvy = jnp.sum(coef * (_jb(j[5]) - _ii(i[5])), -1)
+        dvz = jnp.sum(coef * (_jb(j[6]) - _ii(i[6])), -1)
+        return jnp.stack([dvx, dvy, dvz])
+
+    return _run(body, fl, None, col_count, dims, None, 3, engine)
+
+
+def color_gradient_pass(fl, bd, col_count, dims, dims_b, cfg,
+                        engine="xla"):
+    """He-2014 color-field sums (src/BasicSPHSolver.cu:277-318): outputs
+    [numx, numy, numz, den]; caller divides. fl/bd: [pos3, mass]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        vol = _jb(j[3]) / cfg.rho0
+        cw = vol * kn.grad_w_cubic_coef(g.r, h)
+        nx = jnp.sum(cw * g.dx, -1)
+        ny = jnp.sum(cw * g.dy, -1)
+        nz = jnp.sum(cw * g.dz, -1)
+        den = jnp.sum(vol * kn.w_cubic(g.r, h), -1)
+        gb = _geom(i, jb)
+        volb = _jb(jb[3]) / cfg.rho_boundary
+        cwb = volb * kn.grad_w_cubic_coef(gb.r, h)
+        nx = nx + jnp.sum(cwb * gb.dx, -1)
+        ny = ny + jnp.sum(cwb * gb.dy, -1)
+        nz = nz + jnp.sum(cwb * gb.dz, -1)
+        den = den + jnp.sum(volb * kn.w_cubic(gb.r, h), -1)
+        return jnp.stack([nx, ny, nz, den])
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 4, engine)
+
+
+def surface_pass(fl, col_count, dims, cfg, engine="xla"):
+    """Surface tension + air pressure accel (src/BasicSPHSolver.cu:332-370),
+    fluid only. fl: [pos3, mass, cgx, cgy, cgz]."""
+    h, eps = cfg.radius, cfg.epsilon
+    rho0sq = cfg.rho0 * cfg.rho0
+
+    def body(i, j, jb):
+        ci2 = i[4] * i[4] + i[5] * i[5] + i[6] * i[6]     # (CZ, K)
+        ni = jnp.sqrt(ci2)
+        gate = _ii(ni / jnp.maximum(eps, ni))
+        g = _geom(i, j)
+        cj2 = _jb(j[4] * j[4] + j[5] * j[5] + j[6] * j[6])
+        st = (0.25 * _jb(j[3]) / rho0sq * cfg.surface_tension
+              * (_ii(ci2) + cj2) * kn.grad_w_surface_coef(g.r, h))
+        ap = (cfg.air_pressure * _jb(j[3]) / rho0sq * gate
+              * kn.grad_w_cubic_coef(g.r, h))
+        coef = st + ap
+        ax = jnp.sum(coef * g.dx, -1)
+        ay = jnp.sum(coef * g.dy, -1)
+        az = jnp.sum(coef * g.dz, -1)
+        return jnp.stack([ax, ay, az])
+
+    return _run(body, fl, None, col_count, dims, None, 3, engine)
+
+
+def density_alpha_pass(fl, bd, col_count, dims, dims_b, cfg,
+                       engine="xla"):
+    """DFSPH density + alpha terms (src/DFSPHSolver.cu:212-249): outputs
+    [rho, gsumx, gsumy, gsumz, slam]; alpha computed by the caller.
+    fl/bd: [pos3, mass] (slam over fluid neighbors only)."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        mc = _jb(j[3]) * kn.grad_w_cubic_coef(g.r, h)
+        rho = jnp.sum(_jb(j[3]) * kn.w_cubic(g.r, h), -1)
+        gx = jnp.sum(mc * g.dx, -1)
+        gy = jnp.sum(mc * g.dy, -1)
+        gz = jnp.sum(mc * g.dz, -1)
+        slam = jnp.sum(mc * mc * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz),
+                       -1)
+        gb = _geom(i, jb)
+        mcb = _jb(jb[3]) * kn.grad_w_cubic_coef(gb.r, h)
+        rho = rho + jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)
+        gx = gx + jnp.sum(mcb * gb.dx, -1)
+        gy = gy + jnp.sum(mcb * gb.dy, -1)
+        gz = gz + jnp.sum(mcb * gb.dz, -1)
+        return jnp.stack([rho, gx, gy, gz, slam])
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)
+
+
+def divergence_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
+    """e = sum_f m_j (v_i - v_j).gradW + sum_b m_b v_i.gradW
+    (src/DFSPHSolver.cu:74-92). fl: [pos3, mass, vel3]; bd: [pos3, mass]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        cw = _jb(j[3]) * kn.grad_w_cubic_coef(g.r, h)
+        e = jnp.sum(cw * ((_ii(i[4]) - _jb(j[4])) * g.dx
+                          + (_ii(i[5]) - _jb(j[5])) * g.dy
+                          + (_ii(i[6]) - _jb(j[6])) * g.dz), -1)
+        gb = _geom(i, jb)
+        cwb = _jb(jb[3]) * kn.grad_w_cubic_coef(gb.r, h)
+        e = e + jnp.sum(cwb * (_ii(i[4]) * gb.dx + _ii(i[5]) * gb.dy
+                               + _ii(i[6]) * gb.dz), -1)
+        return e[None]
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 1, engine)[0]
+
+
+def stiffness_accel_pass(fl, bd, col_count, dims, dims_b, cfg,
+                         engine="xla"):
+    """a = sum_f m_j (s_i + s_j) gradW + sum_b m_b s_i gradW — used by
+    DFSPH correction (src/DFSPHSolver.cu:118-136) and, divided by rho0, by
+    PBD delta-pos (src/PBDSolver.cu:170-210).
+    fl: [pos3, mass, stiff]; bd: [pos3, mass]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        g = _geom(i, j)
+        coef = _jb(j[3]) * (_ii(i[4]) + _jb(j[4])) \
+            * kn.grad_w_cubic_coef(g.r, h)
+        ax = jnp.sum(coef * g.dx, -1)
+        ay = jnp.sum(coef * g.dy, -1)
+        az = jnp.sum(coef * g.dz, -1)
+        gb = _geom(i, jb)
+        coefb = _jb(jb[3]) * _ii(i[4]) * kn.grad_w_cubic_coef(gb.r, h)
+        ax = ax + jnp.sum(coefb * gb.dx, -1)
+        ay = ay + jnp.sum(coefb * gb.dy, -1)
+        az = az + jnp.sum(coefb * gb.dz, -1)
+        return jnp.stack([ax, ay, az])
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 3, engine)
+
+
+def pbd_lambda_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
+    """PBD density + lambda terms (src/PBDSolver.cu:127-168): outputs
+    [rho, gsumx, gsumy, gsumz, slam]; both fluid and boundary use the SAME
+    contribution form (the reference calls one device fn for both).
+    fl/bd: [pos3, mass]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        def term(jf):
+            g = _geom(i, jf)
+            w = kn.w_cubic(g.r, h)
+            mc = _jb(jf[3]) * kn.grad_w_cubic_coef(g.r, h) / cfg.rho0
+            rho = jnp.sum(_jb(jf[3]) * w, -1)
+            gx = jnp.sum(mc * g.dx, -1)
+            gy = jnp.sum(mc * g.dy, -1)
+            gz = jnp.sum(mc * g.dz, -1)
+            slam = jnp.sum(mc * mc
+                           * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz), -1)
+            return jnp.stack([rho, gx, gy, gz, slam])
+
+        return term(j) + term(jb)
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)

@@ -59,24 +59,50 @@ class Simulation:
 
         if fluid_pos is None:
             fluid_pos = dam_break_positions(self.cfg)
-        self.scene = common.build_scene(self.cfg, boundary_pos)
         self.state = make_fluid_state(np.asarray(fluid_pos), self.cfg)
         self.carry = self._solver.init_carry(self.state)
         self.metrics: Dict[str, Any] = {}
         self.frame = 0
         self.total_ms = 0.0
 
-        solver_step = self._solver.step
+        engine = self.cfg.engine
+        if engine == "auto":
+            engine = "dense"
+        self.engine = engine
         cfg_ = self.cfg
 
         # NOTE: scene is a jit *argument*, not a closure constant — XLA
         # (notably on CPU) constant-folds gathers over embedded index arrays
         # extremely slowly at compile time.
-        def _step(state, carry, scene, dt):
-            return solver_step(state, carry, scene, cfg_, dt)
+        if engine == "reference":
+            self.scene = common.build_scene(self.cfg, boundary_pos)
+            solver_step = self._solver.step
+
+            def _step(state, carry, scene, dt):
+                return solver_step(state, carry, scene, cfg_, dt)
+        else:
+            from .models import dense_step
+            from .ops import dense as _dense
+            from .state import boundary_positions as _bpos
+
+            b_pos = boundary_pos if boundary_pos is not None \
+                else _bpos(self.cfg)
+            kb = dense_step.boundary_k(b_pos, self.cfg)
+            exec_engine = "xla" if engine == "dense" else engine
+            self.scene = dense_step.build_dense_scene(
+                self.cfg, b_pos, kb, engine=exec_engine)
+            dims = _dense.dims_for(self.cfg)
+            dims_b = _dense.dims_for(self.cfg, kb)
+            dense_solver_step = dense_step.DENSE_STEPS[self.solver_name]
+
+            def _step(state, carry, scene, dt):
+                return dense_solver_step(state, carry, scene, cfg_, dt,
+                                         dims, dims_b, engine=exec_engine)
 
         donate_args = (0, 1) if donate else ()
+        self._raw_step = _step
         self._jit_step = jax.jit(_step, donate_argnums=donate_args)
+        self._multi_cache: Dict[int, Any] = {}
 
         if warmup:
             # the reference's constructor runs one warm-up step to fill
@@ -128,6 +154,37 @@ class Simulation:
                 lambda x: np.asarray(x).item(), self.metrics
             ),
         }
+
+    def run_scan(self, n_steps: int, dt: Optional[float] = None) -> float:
+        """Advance n steps inside ONE compiled lax.scan call — removes
+        per-step host dispatch, giving true device throughput (the timing
+        discipline for benchmarks on the tunneled TPU runtime, where
+        block_until_ready does not block)."""
+        dt = self.cfg.dt if dt is None else dt
+        if n_steps not in self._multi_cache:
+            raw = self._raw_step
+
+            def multi(state, carry, scene, dtv):
+                def body(c, _):
+                    st, ca, m = raw(c[0], c[1], scene, dtv)
+                    return (st, ca), m
+
+                (st, ca), ms = jax.lax.scan(body, (state, carry), None,
+                                            length=n_steps)
+                last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+                return st, ca, last
+
+            self._multi_cache[n_steps] = jax.jit(multi,
+                                                 donate_argnums=(0, 1))
+        t0 = time.perf_counter()
+        st, ca, m = self._multi_cache[n_steps](
+            self.state, self.carry, self.scene, jnp.float32(dt))
+        _ = np.asarray(st.pos)  # force completion (host fetch)
+        ms_total = (time.perf_counter() - t0) * 1e3
+        self.state, self.carry, self.metrics = st, ca, m
+        self.frame += n_steps
+        self.total_ms += ms_total
+        return ms_total / n_steps
 
     # ------------------------------------------------------------------
     def restart(self, solver: Optional[str] = None) -> None:
