@@ -11,9 +11,11 @@ from .config import SimConfig, dam_break_config, BENCH_DT
 from .simulation import Simulation, SOLVERS, resolve_solver
 from .state import (
     FluidState,
+    block_positions,
     boundary_positions,
     dam_break_positions,
     make_fluid_state,
+    scaled_dam_scene,
 )
 
 __version__ = "0.1.0"
@@ -26,6 +28,8 @@ __all__ = [
     "SOLVERS",
     "resolve_solver",
     "FluidState",
+    "block_positions",
+    "scaled_dam_scene",
     "boundary_positions",
     "dam_break_positions",
     "make_fluid_state",

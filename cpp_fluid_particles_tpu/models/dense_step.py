@@ -191,17 +191,26 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
         dims,
     )
     pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
+    pm = jnp.concatenate([pos_d, mass_d], 0)
+    surface_on = (cfg.surface_tension > cfg.epsilon
+                  or cfg.air_pressure > cfg.epsilon)
 
     vel_d = _grav(vel_d, cfg, dt)
     pm_v = jnp.concatenate([pos_d, mass_d, vel_d], 0)
     vel_d = vel_d + pp.viscosity_pass(pm_v, colc, dims, cfg, engine) \
         * (cfg.visc * dt)
-    if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
-        vel_d = _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims,
-                                dims_b, cfg, dt, engine)
-
-    pm = jnp.concatenate([pos_d, mass_d], 0)
-    rho = pp.density_pass(pm, _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+    if surface_on:
+        # fused traversal: rho + color-field sums read the same [pos, mass]
+        dcg = pp.density_colorgrad_pass(pm, _bd(scene_d, engine), colc,
+                                        dims, dims_b, cfg, engine)
+        rho = dcg[0]
+        cg = dcg[1:4] / jnp.maximum(cfg.epsilon, dcg[4])[None]
+        sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
+                             dims, cfg, engine)
+        vel_d = vel_d + sa * dt
+    else:
+        rho = pp.density_pass(pm, _bd(scene_d, engine), colc, dims, dims_b,
+                              cfg, engine)
     p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
     a = pp.pressure_force_pass(
         jnp.concatenate([pos_d, mass_d, rho[None], p[None]], 0),
@@ -242,8 +251,17 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     pos_d, mass_d, vel_d, warm_d = base[0:3], base[3:4], base[4:7], base[7]
     pm = jnp.concatenate([pos_d, mass_d], 0)
 
-    da = pp.density_alpha_pass(pm, _bd(scene_d, engine), colc, dims, dims_b, cfg,
-                               engine)
+    surface_on = (cfg.surface_tension > cfg.epsilon
+                  or cfg.air_pressure > cfg.epsilon)
+    if surface_on:
+        # fused traversal: rho/alpha + color-field sums share [pos, mass]
+        da = pp.density_alpha_colorgrad_pass(
+            pm, _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+        cg = da[5:8] / jnp.maximum(cfg.epsilon, da[8])[None]
+    else:
+        da = pp.density_alpha_pass(pm, _bd(scene_d, engine), colc, dims,
+                                   dims_b, cfg, engine)
+        cg = None
     rho = da[0]
     alpha = -1.0 / jnp.maximum(
         cfg.epsilon, da[1] ** 2 + da[2] ** 2 + da[3] ** 2 + da[4])
@@ -290,9 +308,11 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     vel_d = vel_d + pp.viscosity_pass(
         jnp.concatenate([pm, vel_d], 0), colc, dims, cfg, engine) \
         * (cfg.visc * dt)
-    if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
-        vel_d = _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims,
-                                dims_b, cfg, dt, engine)
+    if surface_on:
+        # cg came fused with the density/alpha traversal above
+        sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
+                             dims, cfg, engine)
+        vel_d = vel_d + sa * dt
 
     # --- density solve with warm start (src/DFSPHSolver.cu:160-210) ---
     tau_den = cfg.dfsph_density_threshold * n * cfg.rho0

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
+from ..parallel.mesh import constrain_axis
 from .grid import POS_PAD, cell_coords
 
 F32 = jnp.float32
@@ -121,8 +122,10 @@ def fill_dense(idx: DenseIndex, fields: Sequence[jnp.ndarray],
     init = jnp.broadcast_to(
         jnp.asarray(fills, F32)[:, None], (f, dims.total + 1))
     dense = init.at[:, idx.slots].set(vals, mode="drop")
-    return dense[:, : dims.total].reshape(
+    out = dense[:, : dims.total].reshape(
         f, dims.gx, dims.gy, dims.gz, dims.k)
+    # under parallel.spatial_sharding: each device owns an x-slab of cells
+    return constrain_axis(out, 1)
 
 
 def read_dense(idx: DenseIndex, dense: jnp.ndarray,

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
+from ..parallel.mesh import constrain_axis
 from . import kernels as kn
 from .dense import DenseDims
 
@@ -209,7 +210,8 @@ def column_pass_xla(
     acc = jax.lax.fori_loop(
         0, 27, fold, jnp.zeros((n_out, c, dims.k), F32))
     core = acc.reshape(n_out, dims.cx, dims.cy, dims.cz, dims.k)
-    return jnp.pad(core, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    return constrain_axis(
+        jnp.pad(core, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), 1)
 
 
 def _run(body, fl, bd, col_count, dims, dims_b, n_out, engine):
@@ -459,3 +461,67 @@ def pbd_lambda_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
         return term(j) + term(jb)
 
     return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)
+
+
+def density_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
+                           engine="xla"):
+    """Fused rho (src/BasicSPHSolver.cu:54-83) + color-field sums
+    (ibid:277-318) — both read only [pos3, mass], so one traversal serves
+    both. Outputs [rho, numx, numy, numz, den]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        def term(jf, rho_ref):
+            g = _geom(i, jf)
+            w = kn.w_cubic(g.r, h)
+            m = _jb(jf[3])
+            vol = m / rho_ref
+            cw = vol * kn.grad_w_cubic_coef(g.r, h)
+            return jnp.stack([
+                jnp.sum(m * w, -1),
+                jnp.sum(cw * g.dx, -1),
+                jnp.sum(cw * g.dy, -1),
+                jnp.sum(cw * g.dz, -1),
+                jnp.sum(vol * w, -1),
+            ])
+
+        return term(j, cfg.rho0) + term(jb, cfg.rho_boundary)
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)
+
+
+def density_alpha_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
+                                 engine="xla"):
+    """Fused DFSPH rho+alpha terms (src/DFSPHSolver.cu:212-249) + color
+    field (src/BasicSPHSolver.cu:277-318), one traversal of [pos3, mass].
+    Outputs [rho, gsumx, gsumy, gsumz, slam, numx, numy, numz, den]."""
+    h = cfg.radius
+
+    def body(i, j, jb):
+        def term(jf, rho_ref, is_fluid):
+            g = _geom(i, jf)
+            w = kn.w_cubic(g.r, h)
+            m = _jb(jf[3])
+            cwc = kn.grad_w_cubic_coef(g.r, h)
+            mc = m * cwc
+            vol = m / rho_ref
+            cw = vol * cwc
+            slam = (jnp.sum(mc * mc * (g.dx ** 2 + g.dy ** 2 + g.dz ** 2),
+                            -1)
+                    if is_fluid else
+                    jnp.zeros(i.shape[1:3], F32))
+            return jnp.stack([
+                jnp.sum(m * w, -1),
+                jnp.sum(mc * g.dx, -1),
+                jnp.sum(mc * g.dy, -1),
+                jnp.sum(mc * g.dz, -1),
+                slam,
+                jnp.sum(cw * g.dx, -1),
+                jnp.sum(cw * g.dy, -1),
+                jnp.sum(cw * g.dz, -1),
+                jnp.sum(vol * w, -1),
+            ])
+
+        return term(j, cfg.rho0, True) + term(jb, cfg.rho_boundary, False)
+
+    return _run(body, fl, bd, col_count, dims, dims_b, 9, engine)

@@ -65,6 +65,20 @@ def constrain_cells(x: jax.Array) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def constrain_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Shard one axis of a tensor along the mesh (used by the dense engine:
+    axis 1 = the ghosted GX axis, so each device owns an x-slab of cells and
+    GSPMD turns the 27-offset stencil slices into halo exchanges over ICI).
+    No-op without an active spatial_sharding context."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 def replicate(x):
     """Constrain a pytree to be replicated on the active mesh."""
     mesh = _ACTIVE_MESH.get()

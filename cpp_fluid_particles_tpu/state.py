@@ -60,6 +60,36 @@ def dam_break_positions(cfg: SimConfig) -> np.ndarray:
     return np.asarray(out, np.float32)
 
 
+def block_positions(origin, n_xyz, spacing) -> np.ndarray:
+    """A rectangular fluid block (generalisation of the reference's
+    hard-coded 36x24x24 dam block, src/main.cpp:75-85)."""
+    nx, ny, nz = n_xyz
+    i, j, k = np.meshgrid(np.arange(ny), np.arange(nx), np.arange(nz),
+                          indexing="ij")
+    out = np.stack([
+        origin[0] + spacing * j.ravel(),
+        origin[1] + spacing * i.ravel(),
+        origin[2] + spacing * k.ravel(),
+    ], -1)
+    return out.astype(np.float32)
+
+
+def scaled_dam_scene(n_target: int, cfg_overrides=None):
+    """A scaled dam-break: a cube block of ~n_target particles filling
+    about half the domain width (the 1M-particle benchmark scene,
+    BASELINE.md). Returns (cfg, fluid_positions)."""
+    from .config import dam_break_config
+
+    side = int(round(n_target ** (1.0 / 3.0)))
+    spacing = 0.02
+    extent = side * spacing
+    space = float(np.ceil(extent * 2.0 * 100) / 100)
+    cfg = dam_break_config(space_size=(space, space, space),
+                           **(cfg_overrides or {}))
+    origin = (0.25 * space, 0.1 * space, 0.25 * space)
+    return cfg, block_positions(origin, (side, side, side), spacing)
+
+
 def boundary_positions(cfg: SimConfig) -> np.ndarray:
     """Six walls of the unit cube, 2*cell_size samples per axis, inset to
     [0.005, 0.995] * space (src/main.cpp:88-117). 14,408 particles for the

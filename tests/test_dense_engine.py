@@ -14,14 +14,7 @@ from cpp_fluid_particles_tpu.state import (
     boundary_positions, dam_break_positions, make_fluid_state,
 )
 
-CFG = cfp.dam_break_config(max_active_cells=2048, max_per_cell=16)
-
-
-def small_block():
-    s = CFG.spacing
-    return np.array([(0.35 + s * i, 0.15 + s * j, 0.35 + s * k)
-                     for i in range(6) for j in range(6) for k in range(6)],
-                    np.float32)
+from helpers import SMALL_CFG as CFG, small_block
 
 
 @pytest.fixture(scope="module")
@@ -104,5 +97,7 @@ def test_run_scan_matches_stepwise():
     for _ in range(5):
         sim1.step()
     sim2.run_scan(5)
-    np.testing.assert_array_equal(np.asarray(sim1.state.pos),
-                                  np.asarray(sim2.state.pos))
+    # scan and single-step compile to different fusions; same physics up to
+    # f32 reassociation
+    np.testing.assert_allclose(np.asarray(sim1.state.pos),
+                               np.asarray(sim2.state.pos), atol=1e-6)

@@ -76,3 +76,30 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     st = out[0]
     assert np.isfinite(np.asarray(st.pos)).all()
+
+
+def test_sharded_dense_engine_matches(setup):
+    """The dense engine under x-slab spatial sharding must match the
+    unsharded run exactly (GSPMD halo exchange over the ghosted grid)."""
+    from cpp_fluid_particles_tpu.models import dense_step as D
+    from cpp_fluid_particles_tpu.ops import dense as dn
+    from cpp_fluid_particles_tpu.state import boundary_positions
+
+    cfg, _, state = setup
+    bpos = boundary_positions(cfg)
+    kb = D.boundary_k(bpos, cfg)
+    dims = dn.dims_for(cfg)
+    dims_b = dn.dims_for(cfg, kb)
+    scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xla")
+    dt = jnp.float32(cfg.dt)
+
+    def step(st, sd, d):
+        s2, _, _m = D.wcsph_step(st, (), sd, cfg, d, dims, dims_b,
+                                 engine="xla")
+        return s2
+
+    ref = jax.jit(step)(state, scene_d, dt)
+    with parallel.spatial_sharding(parallel.make_mesh(8)):
+        sh = jax.jit(step)(state, scene_d, dt)
+    np.testing.assert_allclose(np.asarray(sh.pos), np.asarray(ref.pos),
+                               atol=1e-6)

@@ -13,17 +13,7 @@ import pytest
 import cpp_fluid_particles_tpu as cfp
 from cpp_fluid_particles_tpu.models import common as C
 import reference_impl as ref
-
-CFG = cfp.dam_break_config(max_active_cells=2048, max_per_cell=16)
-
-
-def small_block(n_side=6, origin=(0.35, 0.12, 0.35)):
-    s = CFG.spacing
-    return np.array(
-        [(origin[0] + s * i, origin[1] + s * j, origin[2] + s * k)
-         for i in range(n_side) for j in range(n_side) for k in range(n_side)],
-        np.float32,
-    )
+from helpers import SMALL_CFG as CFG, small_block
 
 
 @pytest.fixture(scope="module")
@@ -54,11 +44,11 @@ def test_wcsph_golden_vs_brute_force(scene):
 
 
 @pytest.mark.parametrize("solver", ["wcsph", "pbd", "dfsph"])
-def test_invariants_over_100_steps(solver):
+def test_invariants_over_40_steps(solver):
     sim = cfp.Simulation(solver=solver, cfg=CFG, fluid_pos=small_block(),
                          warmup=True)
     space = np.asarray(CFG.space_size)
-    for i in range(100):
+    for i in range(40):
         sim.step()
         if i % 25 == 0:
             p = np.asarray(sim.state.pos)
@@ -79,7 +69,7 @@ def test_dfsph_iteration_bounds_and_errors():
     sim = cfp.Simulation(solver="dfsph", cfg=CFG, fluid_pos=small_block(),
                          warmup=True)
     n = sim.fluid_size
-    for _ in range(20):
+    for _ in range(8):
         sim.step()
         m = {k: float(np.asarray(v)) for k, v in sim.metrics.items()}
         assert 1 <= m["divergence_iters"] <= CFG.dfsph_max_iter
@@ -96,7 +86,7 @@ def test_dfsph_iteration_bounds_and_errors():
 def test_pbd_projection_limits_compression():
     sim = cfp.Simulation(solver="pbd", cfg=CFG, fluid_pos=small_block(),
                          warmup=True)
-    for _ in range(50):
+    for _ in range(30):
         sim.step(0.004)
     rho = np.asarray(sim.state.density)
     # PBD's constraint allows small residual compression per iteration

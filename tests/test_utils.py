@@ -13,14 +13,7 @@ from cpp_fluid_particles_tpu.utils.render import (
     Camera, density_colormap, draw_cube_edges, render,
 )
 
-CFG = cfp.dam_break_config(max_active_cells=512, max_per_cell=16)
-
-
-def small_block():
-    s = CFG.spacing
-    return np.array([(0.4 + s * i, 0.3 + s * j, 0.4 + s * k)
-                     for i in range(5) for j in range(5) for k in range(5)],
-                    np.float32)
+from helpers import SMALL_CFG as CFG, small_block
 
 
 def test_density_colormap_matches_vbo():
