@@ -50,7 +50,7 @@ def main() -> int:
     for solver, dt in [("wcsph", 0.001), ("dfsph", 0.004), ("pbd", 0.004)]:
         sim = cfp.Simulation(solver=solver, cfg=cfp.dam_break_config(),
                              warmup=True)  # warmup compiles + fills density
-        _ = _chain_ms(sim, 3, dt, fetch_ms)  # settle caches
+        _ = _chain_ms(sim, chain, dt, fetch_ms)  # compiles the n-step scan
         ms = _chain_ms(sim, chain, dt, fetch_ms)
         ok = bool(np.isfinite(np.asarray(sim.state.pos)).all())
         results[solver] = {"ms_per_frame": round(ms, 3),

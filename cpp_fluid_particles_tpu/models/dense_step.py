@@ -29,7 +29,6 @@ from ..ops.dense import (
     build_dense_index,
     dims_for,
     fill_dense,
-    ghosted_col_count,
     read_dense,
 )
 from ..ops.grid import POS_PAD

@@ -76,14 +76,22 @@ def run_headless(args) -> int:
     timer = StepTimer()
     frames = []
 
+    rendering = bool(args.gif or args.png)
+    chunk = max(1, args.render_every) if rendering else min(args.steps, 25)
+
     from .utils.metrics import profiler_trace
     with profiler_trace(args.profile):
-        for i in range(args.steps):
-            ms = sim.step(args.dt)
-            line = timer.record(ms)
+        done = 0
+        while done < args.steps:
+            n = min(chunk, args.steps - done)
+            # frames between renders run inside one compiled lax.scan call
+            ms = sim.run_scan(n, args.dt) if n > 1 else sim.step(args.dt)
+            done += n
+            for _ in range(n):
+                line = timer.record(ms)
             if not args.quiet:
                 print(line, end="\r", flush=True)
-            if (args.gif or args.png) and i % args.render_every == 0:
+            if rendering:
                 frames.append(np.asarray(
                     render_jit(sim.state.pos, sim.state.density)))
     if not args.quiet:

@@ -48,7 +48,12 @@ class Simulation:
         boundary_pos: Optional[np.ndarray] = None,
         warmup: bool = True,
         donate: bool = True,
+        nan_rollback: bool = False,
     ):
+        # failure detection/recovery (SURVEY.md §5 — absent in the
+        # reference): when enabled, a step producing non-finite state is
+        # rolled back and raises FloatingPointError
+        self.nan_rollback = nan_rollback
         self.cfg = cfg if cfg is not None else dam_break_config()
         self.solver_name = resolve_solver(solver)
         if self.solver_name not in SOLVERS:
@@ -130,12 +135,24 @@ class Simulation:
         """Advance one frame; returns wall milliseconds (device-synced),
         like SPHSystem::step (src/SPHSystem.cu:129-158)."""
         dt = self.cfg.dt if dt is None else dt
+        if self.nan_rollback:
+            # donation would invalidate the rollback copy
+            backup = (jax.tree_util.tree_map(jnp.copy, self.state),
+                      jax.tree_util.tree_map(jnp.copy, self.carry))
         t0 = time.perf_counter()
         state, carry, metrics = self._jit_step(
             self.state, self.carry, self.scene, jnp.float32(dt)
         )
         jax.block_until_ready(state)
         ms = (time.perf_counter() - t0) * 1e3
+        if self.nan_rollback:
+            from .utils.metrics import nan_guard
+            if not bool(nan_guard(state)):
+                self.state, self.carry = backup
+                raise FloatingPointError(
+                    f"non-finite state after frame {self.frame + 1}; "
+                    "state rolled back to the last healthy frame"
+                )
         self.state, self.carry = state, carry
         self.metrics = metrics
         self.frame += 1

@@ -1,0 +1,1 @@
+from . import images, io, metrics, render

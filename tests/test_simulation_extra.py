@@ -1,0 +1,49 @@
+"""Simulation-level extras: NaN rollback, scaled scenes, aliases."""
+
+import numpy as np
+import pytest
+
+import cpp_fluid_particles_tpu as cfp
+from helpers import SMALL_CFG as CFG, small_block
+
+
+def test_nan_rollback_recovers_state():
+    sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=small_block(),
+                         warmup=True, nan_rollback=True, donate=False)
+    sim.step()
+    good = np.asarray(sim.state.pos).copy()
+    # poison the state: a NaN position must trigger rollback on next step
+    sim.state = sim.state._replace(
+        pos=sim.state.pos.at[0, 0].set(np.nan))
+    with pytest.raises(FloatingPointError):
+        sim.step()
+    np.testing.assert_array_equal(np.asarray(sim.state.pos)[1:], good[1:])
+    # and the restored state steps fine afterwards
+    sim.state = sim.state._replace(pos=sim.state.pos.at[0, 0].set(good[0, 0]))
+    sim.step()
+
+
+def test_scaled_dam_scene_smoke():
+    cfg, pos = cfp.scaled_dam_scene(800)
+    assert abs(pos.shape[0] - 800) < 300
+    assert (pos > 0).all() and (pos < np.asarray(cfg.space_size)).all()
+    sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+                         warmup=False)
+    for _ in range(3):
+        sim.step()
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+    assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
+
+
+def test_grad_coef_consistent_with_vector_form():
+    import jax.numpy as jnp
+    from cpp_fluid_particles_tpu.ops import kernels as kn
+    rng = np.random.default_rng(0)
+    rv = jnp.asarray(rng.uniform(-0.05, 0.05, (200, 3)).astype(np.float32))
+    r = jnp.linalg.norm(rv, axis=-1)
+    want = np.asarray(kn.grad_w_cubic(rv, 0.04))
+    got = np.asarray(kn.grad_w_cubic_coef(r, 0.04)[:, None] * rv)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    want = np.asarray(kn.grad_w_surface_tension(rv, 0.04))
+    got = np.asarray(kn.grad_w_surface_coef(r, 0.04)[:, None] * rv)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
