@@ -25,7 +25,7 @@ from .config import dam_break_config
 from .simulation import Simulation
 from .utils import images
 from .utils.metrics import StepTimer, physical_diagnostics
-from .utils.render import Camera, draw_cube_edges, render
+from .utils.render import Camera, draw_cube_edges, render, renderer_palette
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -101,7 +101,8 @@ def run_headless(args) -> int:
         print(" ".join(f"{k}={v:.4g}" for k, v in diag.items()))
 
     if args.gif and frames:
-        images.write_gif(args.gif, frames, fps=args.fps)
+        images.write_gif(args.gif, frames, fps=args.fps,
+                         palette=renderer_palette())
         print(f"wrote {args.gif} ({len(frames)} frames)")
     if args.png:
         last = frames[-1] if frames else np.asarray(

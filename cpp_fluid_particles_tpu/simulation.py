@@ -81,6 +81,7 @@ class Simulation:
         # extremely slowly at compile time.
         if engine == "reference":
             self.scene = common.build_scene(self.cfg, boundary_pos)
+            self._n_boundary = int(self.scene.b_pos.shape[0])
             solver_step = self._solver.step
 
             def _step(state, carry, scene, dt):
@@ -93,6 +94,7 @@ class Simulation:
             b_pos = boundary_pos if boundary_pos is not None \
                 else _bpos(self.cfg)
             kb = dense_step.boundary_k(b_pos, self.cfg)
+            self._n_boundary = int(np.asarray(b_pos).shape[0])
             exec_engine = "xla" if engine == "dense" else engine
             self.scene = dense_step.build_dense_scene(
                 self.cfg, b_pos, kb, engine=exec_engine)
@@ -124,7 +126,7 @@ class Simulation:
 
     @property
     def boundary_size(self) -> int:
-        return int(self.scene.b_pos.shape[0])
+        return self._n_boundary
 
     @property
     def size(self) -> int:
@@ -207,7 +209,5 @@ class Simulation:
     def restart(self, solver: Optional[str] = None) -> None:
         """Rebuild fluid + carry from the scene constants, like keys 1/2/3
         (src/main.cpp:223-239)."""
-        if solver is not None:
-            self.__init__(solver=solver, cfg=self.cfg)
-        else:
-            self.__init__(solver=self.solver_name, cfg=self.cfg)
+        self.__init__(solver=solver or self.solver_name, cfg=self.cfg,
+                      nan_rollback=self.nan_rollback)

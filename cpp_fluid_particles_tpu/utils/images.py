@@ -64,6 +64,19 @@ def _quantize(arr: np.ndarray) -> np.ndarray:
     return ((r * 7 + g) * 6 + b).astype(np.uint8)
 
 
+def _quantize_lut(arr: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Nearest-palette quantisation via a 32^3 RGB lattice LUT (exact to
+    within the 8-level lattice spacing) — lets callers supply
+    content-derived palettes (e.g. the renderer's density ramp)."""
+    lat = (np.arange(32) * 255 / 31.0)
+    grid = np.stack(np.meshgrid(lat, lat, lat, indexing="ij"), -1)  # 32^3,3
+    d = np.linalg.norm(grid.reshape(-1, 1, 3)
+                       - palette.astype(np.float64)[None], axis=-1)
+    lut = np.argmin(d, axis=1).astype(np.uint8).reshape(32, 32, 32)
+    q = np.minimum(arr >> 3, 31)
+    return lut[q[..., 0], q[..., 1], q[..., 2]]
+
+
 def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
     """GIF-flavour LZW."""
     clear = 1 << min_code_size
@@ -113,23 +126,29 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int = 8) -> bytes:
 
 
 def write_gif(path: str, frames: Sequence[np.ndarray],
-              fps: float = 25.0) -> None:
-    """frames: list of (H, W, 3) float [0,1] or uint8 images."""
-    try:
-        from ..runtime import native  # optional C++ fast path
-        if native.available():
-            native.write_gif(path, [to_uint8(f) for f in frames], fps)
-            return
-    except Exception:
-        pass
-    _write_gif_py(path, frames, fps)
+              fps: float = 25.0, palette: np.ndarray | None = None) -> None:
+    """frames: list of (H, W, 3) float [0,1] or uint8 images.
+
+    palette: optional (256, 3) uint8 custom palette (e.g.
+    ``render.renderer_palette()``); default is the generic 6x7x6 cube."""
+    if palette is None:
+        try:
+            from ..runtime import native  # C++ fast path (cube palette)
+            if native.available():
+                native.write_gif(path, [to_uint8(f) for f in frames], fps)
+                return
+        except Exception:
+            pass
+    _write_gif_py(path, frames, fps, palette)
 
 
-def _write_gif_py(path: str, frames: Sequence[np.ndarray], fps: float) -> None:
+def _write_gif_py(path: str, frames: Sequence[np.ndarray], fps: float,
+                  palette: np.ndarray | None = None) -> None:
     assert len(frames) > 0
     h, w = frames[0].shape[:2]
     delay = max(2, int(round(100.0 / fps)))
-    pal = _palette()
+    pal = _palette() if palette is None else np.asarray(palette, np.uint8)
+    assert pal.shape == (256, 3)
 
     buf = bytearray()
     buf += b"GIF89a"
@@ -139,7 +158,7 @@ def _write_gif_py(path: str, frames: Sequence[np.ndarray], fps: float) -> None:
     buf += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01\x00\x00\x00"
     for fr in frames:
         arr = fr if fr.dtype == np.uint8 else to_uint8(fr)
-        idx = _quantize(arr)
+        idx = _quantize(arr) if palette is None else _quantize_lut(arr, pal)
         buf += b"\x21\xF9\x04\x04" + struct.pack("<H", delay) + b"\x00\x00"
         buf += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         buf += bytes([8])  # LZW min code size

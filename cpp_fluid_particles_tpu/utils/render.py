@@ -172,3 +172,23 @@ def draw_cube_edges(samples_per_edge: int = 200):
     pts = np.concatenate(pts, 0)
     colors = np.full((pts.shape[0], 3), 0.7, np.float32)  # glColor4f 0.7 grey
     return jnp.asarray(pts), jnp.asarray(colors)
+
+
+def renderer_palette() -> np.ndarray:
+    """A 256-color GIF palette derived from this renderer's actual output
+    gamut: the density colormap ramp x the sphere-imposter Gaussian shading
+    levels, plus the background/cube colors — far less banding than a
+    generic RGB cube for simulator frames."""
+    dens = np.concatenate([
+        np.linspace(0.3, 0.99, 22), np.linspace(1.0, 1.25, 19),
+    ])
+    ramp = np.asarray(density_colormap(jnp.asarray(dens, jnp.float32)))
+    falloff = np.exp(-np.linspace(0.0, 1.0, 6) ** 2)
+    shaded = (falloff[:, None, None] * ramp[None]).reshape(-1, 3)  # 246
+    extras = np.array([
+        BACKGROUND, (0.7, 0.7, 0.7), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+        (0.85, 0.85, 0.87), (0.5, 0.5, 0.52), (0.95, 0.95, 0.96),
+        (0.2, 0.27, 0.41), (0.6, 0.24, 0.42), (0.45, 0.45, 0.46),
+    ])
+    pal = np.concatenate([extras, shaded])[:256]
+    return np.clip(pal * 255.0 + 0.5, 0, 255).astype(np.uint8)
