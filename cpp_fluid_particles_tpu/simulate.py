@@ -52,6 +52,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-in", default=None)
     p.add_argument("--interactive", action="store_true",
                    help="read key commands from stdin")
+    p.add_argument("--engine", default=None,
+                   help="dense|pallas|interpret|reference (default: config)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", default=None,
                    help="jax.profiler trace directory")
@@ -68,7 +70,10 @@ def run_headless(args) -> int:
         from .utils.io import load_checkpoint
         sim = load_checkpoint(args.checkpoint_in)
     else:
-        sim = Simulation(solver=args.solver, cfg=dam_break_config())
+        cfg = dam_break_config()
+        if args.engine:
+            cfg = cfg.replace(engine=args.engine)
+        sim = Simulation(solver=args.solver, cfg=cfg)
     cam = make_camera(args)
     cube_pts, cube_cols = draw_cube_edges()
     render_jit = jax.jit(

@@ -95,3 +95,18 @@ def test_step_timer_format():
     t = metrics.StepTimer()
     line = t.record(4.4)
     assert "4.40 ms" in line and "FPS" in line
+
+
+def test_custom_palette_gif(tmp_path):
+    from cpp_fluid_particles_tpu.utils.render import renderer_palette
+    pal = renderer_palette()
+    assert pal.shape == (256, 3) and pal.dtype == np.uint8
+    # the background color must be representable near-exactly
+    bg = np.array([229, 229, 234])
+    assert np.abs(pal.astype(int) - bg).sum(1).min() <= 6
+    img = np.full((16, 24, 3), 0.9, np.float32)
+    img[:, :, 2] = 0.92
+    gif = tmp_path / "p.gif"
+    images.write_gif(str(gif), [img], fps=10, palette=pal)
+    data = gif.read_bytes()
+    assert data[:6] == b"GIF89a"
