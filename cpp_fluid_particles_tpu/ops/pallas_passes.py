@@ -1,16 +1,22 @@
-"""Pallas column kernels — the TPU fast path for all neighbor passes.
+"""Neighbor-pass bodies + two executors (Pallas column kernels / fused XLA).
 
 Replaces the reference's per-thread 27-cell scans (src/BasicSPHSolver.cu:62-70
-et al.) with one Pallas program per (x, y) cell column: the program DMAs the
-3x3 neighbor-column window of the ghosted dense grid (ops/dense.py) into
-VMEM, builds the per-z 27-cell candidate tensor by static slicing (zero
-gathers), and evaluates the pair physics as dense (CZ, K, 27K) VPU blocks
-that never touch HBM. Empty columns are skipped via a scalar-prefetched
-occupancy table.
+et al.). Each physics pass is ONE `body(i, j, jb)` function — pair math in
+vector-component form (a (...,3) axis would split XLA fusions and
+materialise the pair tensor) — executed by either:
 
-Every pass is a `body(i, j, jb) -> (n_out, CZ, K)` function built from the
-same geometry helpers; bodies carry vector quantities as separate
-components so the minor dimension stays lane-sized.
+  * ``column_pass`` (engine='pallas'/'interpret'): one program per (x, y)
+    cell column over BlockSpec-pipelined candidate tensors built by
+    ``build_i``/``build_j``; the (CZ, K, 27K) pair blocks live in VMEM and
+    never touch HBM, and empty columns are skipped via a scalar-prefetched
+    occupancy table. The high-performance path on direct TPU runtimes.
+  * ``column_pass_xla`` (engine='xla'): a fori loop over the 27 stencil
+    offsets, each a dynamic slice of the ghosted dense grid fused into a
+    single producer->reduce loop. Zero gathers; the fast path on runtimes
+    where Pallas custom-calls are slow (e.g. the axon relay).
+
+Bodies are shape-generic over the candidate width and the leading axis, so
+the same physics definition serves both executors (differentially tested).
 """
 
 from __future__ import annotations
