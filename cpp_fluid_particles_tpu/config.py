@@ -64,8 +64,12 @@ class SimConfig:
     max_per_cell: int = 16                 # max fluid particles per cell
 
     # --- execution engine ---
-    # "dense"     : ghosted dense cell grid, per-offset fused XLA passes
-    #               (fastest on the axon-tunneled TPU runtime; zero gathers)
+    # "dense"     : ghosted dense cell grid, symmetric half-stencil XLA
+    #               passes (each fluid pair block evaluated once, reduced
+    #               along both axes; fastest on the axon-tunneled TPU
+    #               runtime; zero gathers)
+    # "xla27"     : dense grid, plain 27-offset XLA loop (differential
+    #               oracle for the symmetric executor)
     # "pallas"    : dense grid + Pallas column kernels (candidates resident
     #               in VMEM — the design for direct TPU runtimes)
     # "interpret" : pallas in interpreter mode (CPU correctness testing)

@@ -41,9 +41,9 @@ POS_GUARD = POS_PAD / 2.0
 
 
 def _bd(scene_d, engine):
-    """Boundary operand for the executor: ghosted dense for 'xla', prebuilt
-    candidate tensor for the Pallas executors."""
-    return scene_d.bd if engine == "xla" else scene_d.bd_jcols
+    """Boundary operand for the executor: ghosted dense for the XLA
+    executors, prebuilt candidate tensor for the Pallas executors."""
+    return scene_d.bd if engine in ("xla", "xla27") else scene_d.bd_jcols
 
 
 class DenseScene(NamedTuple):
@@ -68,7 +68,7 @@ def build_dense_scene(cfg: SimConfig, b_pos: np.ndarray, kb: int,
     # the "boundary" j-source contributes nothing here (zero masses): the
     # W-sum runs boundary-vs-boundary through the fluid slot
     zero_bd = fl.at[3].set(0.0)
-    if engine != "xla":
+    if engine not in ("xla", "xla27"):
         zero_bd = pp.build_j(zero_bd, dims_b)
     wsum = pp.density_pass(fl, zero_bd, idx.col_count, dims_b,
                            dims_b, cfg, engine)
@@ -138,18 +138,6 @@ def _grav(vel_d, cfg, dt):
     return vel_d + dt * g[:, None, None, None, None]
 
 
-def _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims, dims_b, cfg,
-                    dt, engine):
-    """handleSurface (src/BasicSPHSolver.cu:262-275) in dense space."""
-    pm = jnp.concatenate([pos_d, mass_d], 0)
-    cg4 = pp.color_gradient_pass(pm, _bd(scene_d, engine), colc, dims, dims_b, cfg,
-                                 engine)
-    cg = cg4[0:3] / jnp.maximum(cfg.epsilon, cg4[3])[None]
-    sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
-                         dims, cfg, engine)
-    return vel_d + sa * dt
-
-
 def _fallback(state: FluidState, cfg, dt):
     """Trajectory for particles that fell out of the grid: gravity + advect
     + clamp (they receive no pair forces — mirrors an isolated particle)."""
@@ -190,31 +178,40 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
         dims,
     )
     pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
-    pm = jnp.concatenate([pos_d, mass_d], 0)
     surface_on = (cfg.surface_tension > cfg.epsilon
                   or cfg.air_pressure > cfg.epsilon)
 
+    # Two traversals per frame (vs the reference's 7 neighbor kernels,
+    # src/BasicSPHSolver.cu:237-260): T1 fuses every sum that reads
+    # [pos, mass, vel] (rho, color field, viscosity); T2 fuses every sum
+    # that additionally reads fields derived from T1 (surface + pressure).
+    # Velocity-update order (gravity, viscosity, surface, pressure) matches
+    # the reference; all four increments depend only on positions and
+    # relative velocities, so fusing their traversals is exact.
     vel_d = _grav(vel_d, cfg, dt)
-    pm_v = jnp.concatenate([pos_d, mass_d, vel_d], 0)
-    vel_d = vel_d + pp.viscosity_pass(pm_v, colc, dims, cfg, engine) \
-        * (cfg.visc * dt)
+    pmv = jnp.concatenate([pos_d, mass_d, vel_d], 0)
     if surface_on:
-        # fused traversal: rho + color-field sums read the same [pos, mass]
-        dcg = pp.density_colorgrad_pass(pm, _bd(scene_d, engine), colc,
-                                        dims, dims_b, cfg, engine)
-        rho = dcg[0]
-        cg = dcg[1:4] / jnp.maximum(cfg.epsilon, dcg[4])[None]
-        sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
-                             dims, cfg, engine)
-        vel_d = vel_d + sa * dt
+        o = pp.density_colorgrad_visc_pass(pmv, _bd(scene_d, engine), colc,
+                                           dims, dims_b, cfg, engine)
+        rho = o[0]
+        cg = o[1:4] / jnp.maximum(cfg.epsilon, o[4])[None]
+        vel_d = vel_d + o[5:8] * (cfg.visc * dt)
+        p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
+        sp = pp.surface_pressure_pass(
+            jnp.concatenate([pos_d, mass_d, rho[None], p[None], cg], 0),
+            _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+        vel_d = vel_d + sp[0:3] * dt
+        vel_d = vel_d + _accel_clamp(sp[3:6], cfg) * dt
     else:
-        rho = pp.density_pass(pm, _bd(scene_d, engine), colc, dims, dims_b,
-                              cfg, engine)
-    p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
-    a = pp.pressure_force_pass(
-        jnp.concatenate([pos_d, mass_d, rho[None], p[None]], 0),
-        _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
-    vel_d = vel_d + _accel_clamp(a, cfg) * dt
+        o = pp.density_visc_pass(pmv, _bd(scene_d, engine), colc, dims,
+                                 dims_b, cfg, engine)
+        rho = o[0]
+        vel_d = vel_d + o[1:4] * (cfg.visc * dt)
+        p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
+        a = pp.pressure_force_pass(
+            jnp.concatenate([pos_d, mass_d, rho[None], p[None]], 0),
+            _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+        vel_d = vel_d + _accel_clamp(a, cfg) * dt
 
     pos_d = pos_d + dt * vel_d
     pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
@@ -321,7 +318,9 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
         err = jnp.maximum(0.0, dt * e + rho - cfg.rho0)
         return err, err * alpha
 
-    vel_d = vel_d + sa_pass(warm_d)
+    # warm start applies through the same correction scale as in-loop
+    # iterations: vel += a/dt (src/DFSPHSolver.cu correctDensityError_CUDA)
+    vel_d = vel_d + sa_pass(warm_d) / dt
     err0, stiff0 = den_error(vel_d)
     warm_d = stiff0
 
@@ -406,13 +405,22 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
 
     # --- velocity from position delta (src/PBDSolver.cu:55-60) ---
     vel_d = (pos_d - plast_d) / dt
-    # --- XSPH viscosity on current positions (src/PBDSolver.cu:89-125) ---
-    vel_d = vel_d + pp.xsph_pass(
-        jnp.concatenate([pos_d, mass_d, vel_d], 0), colc, dims, cfg,
-        engine) * (cfg.pbd_xsph_c / cfg.rho0)
+    # --- XSPH viscosity (src/PBDSolver.cu:89-125) fused with the surface
+    # color field (src/BasicSPHSolver.cu:277-318): both traverse the same
+    # projected positions ---
     if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
-        vel_d = _surface_update(vel_d, pos_d, mass_d, scene_d, colc, dims,
-                                dims_b, cfg, dt, engine)
+        o = pp.xsph_colorgrad_pass(
+            jnp.concatenate([pos_d, mass_d, vel_d], 0), _bd(scene_d, engine),
+            colc, dims, dims_b, cfg, engine)
+        vel_d = vel_d + o[0:3] * (cfg.pbd_xsph_c / cfg.rho0)
+        cg = o[3:6] / jnp.maximum(cfg.epsilon, o[6])[None]
+        sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
+                             dims, cfg, engine)
+        vel_d = vel_d + sa * dt
+    else:
+        vel_d = vel_d + pp.xsph_pass(
+            jnp.concatenate([pos_d, mass_d, vel_d], 0), colc, dims, cfg,
+            engine) * (cfg.pbd_xsph_c / cfg.rho0)
     vel_d = _grav(vel_d, cfg, dt)
 
     # --- remember + predict (src/PBDSolver.cu:71-79) ---

@@ -191,8 +191,10 @@ def correct_density(fg, scene, vel, density, alpha, warm_stiff, cfg, dt):
         err = jnp.maximum(0.0, dt * e + density - cfg.rho0)
         return err, err * alpha
 
-    # warm start (no realignment needed — particle identity is stable)
-    vel = vel + _stiffness_accel(fg, scene, warm_stiff, cfg)
+    # warm start (no realignment needed — particle identity is stable);
+    # applied through the same correction kernel as in-loop iterations,
+    # i.e. vel += a/dt (src/DFSPHSolver.cu correctDensityError_CUDA)
+    vel = vel + _stiffness_accel(fg, scene, warm_stiff, cfg) / dt
     err0, stiff0 = den_error(vel)
     warm = stiff0
 

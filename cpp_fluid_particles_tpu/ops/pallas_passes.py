@@ -1,22 +1,38 @@
-"""Neighbor-pass bodies + two executors (Pallas column kernels / fused XLA).
+"""Neighbor-pass bodies + three executors (Pallas columns / fused XLA).
 
 Replaces the reference's per-thread 27-cell scans (src/BasicSPHSolver.cu:62-70
-et al.). Each physics pass is ONE `body(i, j, jb)` function — pair math in
+et al.). Each physics pass is defined by TERM functions — pair math in
 vector-component form (a (...,3) axis would split XLA fusions and
-materialise the pair tensor) — executed by either:
+materialise the pair tensor):
+
+  * ``fluid_terms(i, j, want_j) -> (out_i, out_j | None)`` — the fluid-fluid
+    pair block; ``out_i`` reduces over the j axis (axis -1), ``out_j`` over
+    the i axis (axis -2). The j-side reduction is the Newton's-third-law
+    mirror (W symmetric, grad W antisymmetric, mass weight swapped), so one
+    pair-block evaluation serves both particles of each pair.
+  * ``bd_terms(i, jb) -> out_i`` — the fluid-boundary block (one-sided:
+    boundary particles are static and receive no forces).
+
+Executors:
 
   * ``column_pass`` (engine='pallas'/'interpret'): one program per (x, y)
     cell column over BlockSpec-pipelined candidate tensors built by
     ``build_i``/``build_j``; the (CZ, K, 27K) pair blocks live in VMEM and
     never touch HBM, and empty columns are skipped via a scalar-prefetched
     occupancy table. The high-performance path on direct TPU runtimes.
-  * ``column_pass_xla`` (engine='xla'): a fori loop over the 27 stencil
-    offsets, each a dynamic slice of the ghosted dense grid fused into a
-    single producer->reduce loop. Zero gathers; the fast path on runtimes
-    where Pallas custom-calls are slow (e.g. the axon relay).
+  * ``column_pass_xla_sym`` (engine='xla'): HALF-stencil loop — 13 offsets
+    + the self offset instead of 27; each fluid pair block is evaluated
+    once and reduced along both axes, the j-side partials shifted to their
+    home cells by a static pad + dynamic-slice (no gathers). Boundary
+    blocks keep the full 27 offsets (both o and 26-o folded into the same
+    iteration). ~Halves pair-kernel work and pair-stream traffic vs the
+    27-offset loop. The fast path on runtimes where Pallas custom-calls
+    are slow (e.g. the axon relay).
+  * ``column_pass_xla`` (engine='xla27'): the plain 27-offset loop, kept
+    as a differential-testing oracle for the symmetric executor.
 
 Bodies are shape-generic over the candidate width and the leading axis, so
-the same physics definition serves both executors (differentially tested).
+the same physics definition serves all executors (differentially tested).
 """
 
 from __future__ import annotations
@@ -25,6 +41,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,13 +52,14 @@ from .dense import DenseDims
 
 F32 = jnp.float32
 
+# stencil offsets in the reference's m-loop order (src/BasicSPHSolver.cu:66):
+# offset o -> displacement (o//9, o%9//3, o%3) into the ghosted grid;
+# o and 26-o are reverses of each other; o=13 is the self offset.
+_OFFS = np.array([(o // 9, (o % 9) // 3, o % 3) for o in range(27)], np.int32)
+
 
 # ----------------------------------------------------------------------
-# window -> (i, j) tensor prep
-# ----------------------------------------------------------------------
-
-# ----------------------------------------------------------------------
-# XLA-side candidate-tensor construction
+# XLA-side candidate-tensor construction (Pallas executor)
 #
 # Mosaic tiles the last two dims of every ref (even in HBM) and rejects
 # DMA slices that are not tile-aligned, so arrays whose minor dims are
@@ -149,7 +167,7 @@ def column_pass(
 # ----------------------------------------------------------------------
 
 class Pair(NamedTuple):
-    dx: jnp.ndarray   # (CZ, K, 27K) i - j separations per component
+    dx: jnp.ndarray   # (..., K, Kj) i - j separations per component
     dy: jnp.ndarray
     dz: jnp.ndarray
     r: jnp.ndarray
@@ -157,7 +175,7 @@ class Pair(NamedTuple):
 
 def _geom(i, j) -> Pair:
     """i, j: stacked field tensors whose first three rows are position
-    components. Returns pair separations/distance (CZ, K, 27Kj)."""
+    components. Returns pair separations/distance (..., K, Kj)."""
     dx = i[0][:, :, None] - j[0][:, None, :]
     dy = i[1][:, :, None] - j[1][:, None, :]
     dz = i[2][:, :, None] - j[2][:, None, :]
@@ -173,6 +191,10 @@ def _ii(v):
     return v[:, :, None]
 
 
+# ----------------------------------------------------------------------
+# executors over term functions
+# ----------------------------------------------------------------------
+
 def column_pass_xla(
     body: Callable,
     fl: jnp.ndarray,                  # (Fi, GX, GY, GZ, K) ghosted
@@ -181,12 +203,10 @@ def column_pass_xla(
     bd: Optional[jnp.ndarray] = None,  # (Fb, GX, GY, GZ, Kb) ghosted
     dims_b: Optional[DenseDims] = None,
 ) -> jnp.ndarray:
-    """Pure-XLA executor for the same pass bodies: loop over the 27 stencil
-    offsets, each a dynamic slice of the ghosted dense grid (zero gathers),
-    with the pair math fusing into a single producer->reduce loop per
-    offset. On runtimes where the Pallas custom-call path is slow (e.g. the
-    axon relay), this is the fast path; on real TPUs column_pass keeps the
-    candidates resident in VMEM and wins.
+    """Plain 27-offset XLA executor: loop over the stencil offsets, each a
+    dynamic slice of the ghosted dense grid (zero gathers), with the pair
+    math fusing into a single producer->reduce loop per offset. Kept as the
+    differential-testing oracle for ``column_pass_xla_sym``.
 
     The bodies are shape-generic: here i/j leaves are (C, K)/(C, Kj) with
     C = CX*CY*CZ flattened cells instead of per-column (CZ, K).
@@ -196,8 +216,7 @@ def column_pass_xla(
     i_flat = fl[:, 1:-1, 1:-1, 1:-1, :].reshape(fi, c, dims.k)
     has_b = bd is not None
 
-    offs = jnp.asarray(
-        [(o // 9, (o % 9) // 3, o % 3) for o in range(27)], jnp.int32)
+    offs = jnp.asarray(_OFFS)
 
     def offset_slice(dense, o, k):
         f = dense.shape[0]
@@ -218,31 +237,113 @@ def column_pass_xla(
         jnp.pad(core, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), 1)
 
 
-def _run(body, fl, bd, col_count, dims, dims_b, n_out, engine):
-    """Dispatch a pass body to an executor.
+def column_pass_xla_sym(
+    fluid_terms: Callable,
+    bd_terms: Optional[Callable],
+    fl: jnp.ndarray,                  # (Fi, GX, GY, GZ, K) ghosted
+    dims: DenseDims,
+    n_out: int,
+    bd: Optional[jnp.ndarray] = None,  # (Fb, GX, GY, GZ, Kb) ghosted
+    dims_b: Optional[DenseDims] = None,
+) -> jnp.ndarray:
+    """Symmetric half-stencil XLA executor.
 
-    engine: 'xla' (per-offset dynamic slices, no Pallas), 'pallas'
-    (column kernels, candidates in VMEM), or 'interpret' (Pallas
+    For each of the 13 half offsets d, the fluid pair block (i in cell c,
+    j in cell c+d) is evaluated once; the j-axis reduction lands on the
+    i cells directly, and the i-axis reduction (the Newton's-third-law
+    mirror) is shifted by +d via one pad + dynamic-slice and accumulated —
+    covering the reverse offset 26-o without re-evaluating the block. The
+    self offset (o=13) uses the i-reduction only: its full block already
+    contains both orderings of each within-cell pair. Boundary blocks are
+    one-sided and keep all 27 offsets (o and 26-o folded per iteration).
+    """
+    fi = fl.shape[0]
+    cx, cy, cz, k = dims.cx, dims.cy, dims.cz, dims.k
+    c = cx * cy * cz
+    i_flat = fl[:, 1:-1, 1:-1, 1:-1, :].reshape(fi, c, k)
+    has_b = bd is not None and bd_terms is not None
+
+    offs = jnp.asarray(_OFFS)
+
+    def slc(dense, o, kk):
+        f = dense.shape[0]
+        sl = jax.lax.dynamic_slice(
+            dense, (0, offs[o, 0], offs[o, 1], offs[o, 2], 0),
+            (f, cx, cy, cz, kk))
+        return sl.reshape(f, c, kk)
+
+    # self offset: i-reduction over the full within-cell block
+    acc = fluid_terms(i_flat, i_flat, False)[0]
+    if has_b:
+        acc = acc + bd_terms(i_flat, slc(bd, 13, dims_b.k))
+    acc5 = acc.reshape(n_out, cx, cy, cz, k)
+
+    def fold(o, a5):
+        out_i, out_j = fluid_terms(i_flat, slc(fl, o, k), True)
+        a5 = a5 + out_i.reshape(n_out, cx, cy, cz, k)
+        # j-side partials: value at i-cell c belongs to j-cell c+d; shift
+        # by +d = slice the ghost-padded array at start 2-offs[o]
+        ojg = jnp.pad(out_j.reshape(n_out, cx, cy, cz, k),
+                      ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        a5 = a5 + jax.lax.dynamic_slice(
+            ojg, (0, 2 - offs[o, 0], 2 - offs[o, 1], 2 - offs[o, 2], 0),
+            a5.shape)
+        if has_b:
+            a5 = a5 + (bd_terms(i_flat, slc(bd, o, dims_b.k))
+                       + bd_terms(i_flat, slc(bd, 26 - o, dims_b.k))
+                       ).reshape(n_out, cx, cy, cz, k)
+        return a5
+
+    acc5 = jax.lax.fori_loop(0, 13, fold, acc5)
+    return constrain_axis(
+        jnp.pad(acc5, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), 1)
+
+
+def _std_body(fluid_terms, bd_terms):
+    """Combine term functions into the (i, j, jb) body used by the Pallas
+    and 27-offset executors."""
+    def body(i, j, jb):
+        out = fluid_terms(i, j, False)[0]
+        if jb is not None and bd_terms is not None:
+            out = out + bd_terms(i, jb)
+        return out
+    return body
+
+
+def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
+         engine):
+    """Dispatch a pass to an executor.
+
+    engine: 'xla' (symmetric half-stencil), 'xla27' (plain 27-offset loop),
+    'pallas' (column kernels, candidates in VMEM), or 'interpret' (Pallas
     interpreter, for CPU tests).
 
-    fl: ghosted fluid dense (F, GX, GY, GZ, K). bd: for 'xla' the ghosted
-    boundary dense (Fb, GX, GY, GZ, Kb); for 'pallas'/'interpret' the
-    PREBUILT candidate tensor (NC, Fb, CZ, 27Kb) from build_j. Returns a
-    ghosted (n_out, GX, GY, GZ, K) result."""
+    fl: ghosted fluid dense (F, GX, GY, GZ, K). bd: for the XLA executors
+    the ghosted boundary dense (Fb, GX, GY, GZ, Kb); for 'pallas' /
+    'interpret' the PREBUILT candidate tensor (NC, Fb, CZ, 27Kb) from
+    build_j. Returns a ghosted (n_out, GX, GY, GZ, K) result."""
     if engine == "xla":
-        return column_pass_xla(body, fl, dims, n_out, bd, dims_b)
+        return column_pass_xla_sym(fluid_terms, bd_terms, fl, dims, n_out,
+                                   bd, dims_b)
+    if engine == "xla27":
+        return column_pass_xla(_std_body(fluid_terms, bd_terms), fl, dims,
+                               n_out, bd, dims_b)
     i_cols = build_i(fl, dims)
     j_cols = build_j(fl, dims)
-    out = column_pass(body, i_cols, j_cols, col_count, dims, n_out,
-                      bd, dims_b, interpret=(engine == "interpret"))
+    out = column_pass(_std_body(fluid_terms, bd_terms), i_cols, j_cols,
+                      col_count, dims, n_out, bd, dims_b,
+                      interpret=(engine == "interpret"))
     return cols_to_ghosted(out, dims)
 
 
 # ----------------------------------------------------------------------
-# physics pass bodies
+# physics pass term functions
 #
 # Field row conventions (stacked along axis 0 of the dense arrays):
 #   positions always rows 0..2, mass row 3; extras documented per pass.
+# Each fluid_terms returns (out_i, out_j): out_i reduces the pair block
+# over the j axis (-1); out_j over the i axis (-2) with the mass weight
+# swapped and gradient-direction terms negated (grad W antisymmetric).
 # ----------------------------------------------------------------------
 
 def density_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
@@ -250,14 +351,18 @@ def density_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
     fl: [pos3, mass]; bd: [pos3, mass]. Returns ghosted (GX,GY,GZ,K)."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        rho = jnp.sum(_jb(j[3]) * kn.w_cubic(g.r, h), -1)
-        gb = _geom(i, jb)
-        rho = rho + jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)
-        return rho[None]
+        w = kn.w_cubic(g.r, h)
+        out_i = jnp.sum(_jb(j[3]) * w, -1)[None]
+        out_j = jnp.sum(_ii(i[3]) * w, -2)[None] if want_j else None
+        return out_i, out_j
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 1, engine)[0]
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        return jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)[None]
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 1, engine)[0]
 
 
 def pressure_force_pass(fl, bd, col_count, dims, dims_b, cfg,
@@ -267,24 +372,33 @@ def pressure_force_pass(fl, bd, col_count, dims, dims_b, cfg,
     fl: [pos3, mass, rho, p]; bd: [pos3, mass]. Returns (3, ghosted)."""
     h, eps = cfg.radius, cfg.epsilon
 
-    def body(i, j, jb):
-        over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
+    def fluid(i, j, want_j):
         g = _geom(i, j)
         cw = kn.grad_w_cubic_coef(g.r, h)
+        over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
         over_j = _jb(j[5] / jnp.maximum(eps, j[4] * j[4]))
-        coef = -_jb(j[3]) * (over_i + over_j) * cw
-        ax = jnp.sum(coef * g.dx, -1)
-        ay = jnp.sum(coef * g.dy, -1)
-        az = jnp.sum(coef * g.dz, -1)
+        s = (over_i + over_j) * cw
+        sx, sy, sz = s * g.dx, s * g.dy, s * g.dz
+        mj = _jb(j[3])
+        out_i = jnp.stack([-jnp.sum(mj * sx, -1), -jnp.sum(mj * sy, -1),
+                           -jnp.sum(mj * sz, -1)])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        out_j = jnp.stack([jnp.sum(mi * sx, -2), jnp.sum(mi * sy, -2),
+                           jnp.sum(mi * sz, -2)])
+        return out_i, out_j
+
+    def bdry(i, jb):
         gb = _geom(i, jb)
         cwb = kn.grad_w_cubic_coef(gb.r, h)
+        over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
         coefb = -_jb(jb[3]) * over_i * cwb
-        ax = ax + jnp.sum(coefb * gb.dx, -1)
-        ay = ay + jnp.sum(coefb * gb.dy, -1)
-        az = az + jnp.sum(coefb * gb.dz, -1)
-        return jnp.stack([ax, ay, az])
+        return jnp.stack([jnp.sum(coefb * gb.dx, -1),
+                          jnp.sum(coefb * gb.dy, -1),
+                          jnp.sum(coefb * gb.dz, -1)])
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 3, engine)
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 3, engine)
 
 
 def viscosity_pass(fl, col_count, dims, cfg, engine="xla"):
@@ -292,15 +406,23 @@ def viscosity_pass(fl, col_count, dims, cfg, engine="xla"):
     caller scales by visc*dt. fl: [pos3, mass, vel3]."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        coef = _jb(j[3]) * kn.w_visc_laplacian(g.r, h) / cfg.rho0
-        dvx = jnp.sum(coef * (_jb(j[4]) - _ii(i[4])), -1)
-        dvy = jnp.sum(coef * (_jb(j[5]) - _ii(i[5])), -1)
-        dvz = jnp.sum(coef * (_jb(j[6]) - _ii(i[6])), -1)
-        return jnp.stack([dvx, dvy, dvz])
+        lap = kn.w_visc_laplacian(g.r, h) / cfg.rho0
+        tx = lap * (_jb(j[4]) - _ii(i[4]))
+        ty = lap * (_jb(j[5]) - _ii(i[5]))
+        tz = lap * (_jb(j[6]) - _ii(i[6]))
+        mj = _jb(j[3])
+        out_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
+                           jnp.sum(mj * tz, -1)])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        out_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
+                           -jnp.sum(mi * tz, -2)])
+        return out_i, out_j
 
-    return _run(body, fl, None, col_count, dims, None, 3, engine)
+    return _run(fluid, None, fl, None, col_count, dims, None, 3, engine)
 
 
 def xsph_pass(fl, col_count, dims, cfg, engine="xla"):
@@ -308,15 +430,38 @@ def xsph_pass(fl, col_count, dims, cfg, engine="xla"):
     scales by c/rho0. fl: [pos3, mass, vel3]."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        coef = _jb(j[3]) * kn.w_cubic(g.r, h)
-        dvx = jnp.sum(coef * (_jb(j[4]) - _ii(i[4])), -1)
-        dvy = jnp.sum(coef * (_jb(j[5]) - _ii(i[5])), -1)
-        dvz = jnp.sum(coef * (_jb(j[6]) - _ii(i[6])), -1)
-        return jnp.stack([dvx, dvy, dvz])
+        w = kn.w_cubic(g.r, h)
+        tx = w * (_jb(j[4]) - _ii(i[4]))
+        ty = w * (_jb(j[5]) - _ii(i[5]))
+        tz = w * (_jb(j[6]) - _ii(i[6]))
+        mj = _jb(j[3])
+        out_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
+                           jnp.sum(mj * tz, -1)])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        out_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
+                           -jnp.sum(mi * tz, -2)])
+        return out_i, out_j
 
-    return _run(body, fl, None, col_count, dims, None, 3, engine)
+    return _run(fluid, None, fl, None, col_count, dims, None, 3, engine)
+
+
+def _colorgrad_terms(i, j, g, w, cw, rho_ref, want_j):
+    """Shared He-2014 color-field sums: [numx, numy, numz, den]."""
+    volj = _jb(j[3]) / rho_ref
+    cj = volj * cw
+    out_i = jnp.stack([jnp.sum(cj * g.dx, -1), jnp.sum(cj * g.dy, -1),
+                       jnp.sum(cj * g.dz, -1), jnp.sum(volj * w, -1)])
+    if not want_j:
+        return out_i, None
+    voli = _ii(i[3]) / rho_ref
+    ci = voli * cw
+    out_j = jnp.stack([-jnp.sum(ci * g.dx, -2), -jnp.sum(ci * g.dy, -2),
+                       -jnp.sum(ci * g.dz, -2), jnp.sum(voli * w, -2)])
+    return out_i, out_j
 
 
 def color_gradient_pass(fl, bd, col_count, dims, dims_b, cfg,
@@ -325,24 +470,19 @@ def color_gradient_pass(fl, bd, col_count, dims, dims_b, cfg,
     [numx, numy, numz, den]; caller divides. fl/bd: [pos3, mass]."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        vol = _jb(j[3]) / cfg.rho0
-        cw = vol * kn.grad_w_cubic_coef(g.r, h)
-        nx = jnp.sum(cw * g.dx, -1)
-        ny = jnp.sum(cw * g.dy, -1)
-        nz = jnp.sum(cw * g.dz, -1)
-        den = jnp.sum(vol * kn.w_cubic(g.r, h), -1)
-        gb = _geom(i, jb)
-        volb = _jb(jb[3]) / cfg.rho_boundary
-        cwb = volb * kn.grad_w_cubic_coef(gb.r, h)
-        nx = nx + jnp.sum(cwb * gb.dx, -1)
-        ny = ny + jnp.sum(cwb * gb.dy, -1)
-        nz = nz + jnp.sum(cwb * gb.dz, -1)
-        den = den + jnp.sum(volb * kn.w_cubic(gb.r, h), -1)
-        return jnp.stack([nx, ny, nz, den])
+        return _colorgrad_terms(i, j, g, kn.w_cubic(g.r, h),
+                                kn.grad_w_cubic_coef(g.r, h), cfg.rho0,
+                                want_j)
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 4, engine)
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        return _colorgrad_terms(i, jb, gb, kn.w_cubic(gb.r, h),
+                                kn.grad_w_cubic_coef(gb.r, h),
+                                cfg.rho_boundary, False)[0]
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 4, engine)
 
 
 def surface_pass(fl, col_count, dims, cfg, engine="xla"):
@@ -351,23 +491,32 @@ def surface_pass(fl, col_count, dims, cfg, engine="xla"):
     h, eps = cfg.radius, cfg.epsilon
     rho0sq = cfg.rho0 * cfg.rho0
 
-    def body(i, j, jb):
-        ci2 = i[4] * i[4] + i[5] * i[5] + i[6] * i[6]     # (CZ, K)
+    def fluid(i, j, want_j):
+        ci2 = i[4] * i[4] + i[5] * i[5] + i[6] * i[6]     # (..., K)
+        cj2 = j[4] * j[4] + j[5] * j[5] + j[6] * j[6]
         ni = jnp.sqrt(ci2)
-        gate = _ii(ni / jnp.maximum(eps, ni))
+        gate_i = _ii(ni / jnp.maximum(eps, ni))
         g = _geom(i, j)
-        cj2 = _jb(j[4] * j[4] + j[5] * j[5] + j[6] * j[6])
-        st = (0.25 * _jb(j[3]) / rho0sq * cfg.surface_tension
-              * (_ii(ci2) + cj2) * kn.grad_w_surface_coef(g.r, h))
-        ap = (cfg.air_pressure * _jb(j[3]) / rho0sq * gate
-              * kn.grad_w_cubic_coef(g.r, h))
-        coef = st + ap
-        ax = jnp.sum(coef * g.dx, -1)
-        ay = jnp.sum(coef * g.dy, -1)
-        az = jnp.sum(coef * g.dz, -1)
-        return jnp.stack([ax, ay, az])
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        st = (0.25 / rho0sq * cfg.surface_tension
+              * (_ii(ci2) + _jb(cj2)) * kn.grad_w_surface_coef(g.r, h))
+        si = st + (cfg.air_pressure / rho0sq) * gate_i * cw
+        mj = _jb(j[3])
+        out_i = jnp.stack([jnp.sum(mj * si * g.dx, -1),
+                           jnp.sum(mj * si * g.dy, -1),
+                           jnp.sum(mj * si * g.dz, -1)])
+        if not want_j:
+            return out_i, None
+        nj = jnp.sqrt(cj2)
+        gate_j = _jb(nj / jnp.maximum(eps, nj))
+        sj = st + (cfg.air_pressure / rho0sq) * gate_j * cw
+        mi = _ii(i[3])
+        out_j = jnp.stack([-jnp.sum(mi * sj * g.dx, -2),
+                           -jnp.sum(mi * sj * g.dy, -2),
+                           -jnp.sum(mi * sj * g.dz, -2)])
+        return out_i, out_j
 
-    return _run(body, fl, None, col_count, dims, None, 3, engine)
+    return _run(fluid, None, fl, None, col_count, dims, None, 3, engine)
 
 
 def density_alpha_pass(fl, bd, col_count, dims, dims_b, cfg,
@@ -377,44 +526,74 @@ def density_alpha_pass(fl, bd, col_count, dims, dims_b, cfg,
     fl/bd: [pos3, mass] (slam over fluid neighbors only)."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        mc = _jb(j[3]) * kn.grad_w_cubic_coef(g.r, h)
-        rho = jnp.sum(_jb(j[3]) * kn.w_cubic(g.r, h), -1)
-        gx = jnp.sum(mc * g.dx, -1)
-        gy = jnp.sum(mc * g.dy, -1)
-        gz = jnp.sum(mc * g.dz, -1)
-        slam = jnp.sum(mc * mc * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz),
-                       -1)
-        gb = _geom(i, jb)
-        mcb = _jb(jb[3]) * kn.grad_w_cubic_coef(gb.r, h)
-        rho = rho + jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)
-        gx = gx + jnp.sum(mcb * gb.dx, -1)
-        gy = gy + jnp.sum(mcb * gb.dy, -1)
-        gz = gz + jnp.sum(mcb * gb.dz, -1)
-        return jnp.stack([rho, gx, gy, gz, slam])
+        w = kn.w_cubic(g.r, h)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        r2c2 = cw * cw * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz)
+        mj = _jb(j[3])
+        mcj = mj * cw
+        out_i = jnp.stack([
+            jnp.sum(mj * w, -1),
+            jnp.sum(mcj * g.dx, -1),
+            jnp.sum(mcj * g.dy, -1),
+            jnp.sum(mcj * g.dz, -1),
+            jnp.sum(mj * mj * r2c2, -1),
+        ])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        mci = mi * cw
+        out_j = jnp.stack([
+            jnp.sum(mi * w, -2),
+            -jnp.sum(mci * g.dx, -2),
+            -jnp.sum(mci * g.dy, -2),
+            -jnp.sum(mci * g.dz, -2),
+            jnp.sum(mi * mi * r2c2, -2),
+        ])
+        return out_i, out_j
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        mb = _jb(jb[3])
+        mcb = mb * kn.grad_w_cubic_coef(gb.r, h)
+        zero = jnp.zeros(gb.r.shape[:-1], F32)
+        return jnp.stack([
+            jnp.sum(mb * kn.w_cubic(gb.r, h), -1),
+            jnp.sum(mcb * gb.dx, -1),
+            jnp.sum(mcb * gb.dy, -1),
+            jnp.sum(mcb * gb.dz, -1),
+            zero,
+        ])
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 5, engine)
 
 
 def divergence_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
     """e = sum_f m_j (v_i - v_j).gradW + sum_b m_b v_i.gradW
-    (src/DFSPHSolver.cu:74-92). fl: [pos3, mass, vel3]; bd: [pos3, mass]."""
+    (src/DFSPHSolver.cu:74-92). fl: [pos3, mass, vel3]; bd: [pos3, mass].
+    The pair scalar (v_i-v_j).gradW_ij is i<->j symmetric (both factors
+    flip sign), so out_j needs no negation."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        cw = _jb(j[3]) * kn.grad_w_cubic_coef(g.r, h)
-        e = jnp.sum(cw * ((_ii(i[4]) - _jb(j[4])) * g.dx
-                          + (_ii(i[5]) - _jb(j[5])) * g.dy
-                          + (_ii(i[6]) - _jb(j[6])) * g.dz), -1)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        t = cw * ((_ii(i[4]) - _jb(j[4])) * g.dx
+                  + (_ii(i[5]) - _jb(j[5])) * g.dy
+                  + (_ii(i[6]) - _jb(j[6])) * g.dz)
+        out_i = jnp.sum(_jb(j[3]) * t, -1)[None]
+        out_j = jnp.sum(_ii(i[3]) * t, -2)[None] if want_j else None
+        return out_i, out_j
+
+    def bdry(i, jb):
         gb = _geom(i, jb)
         cwb = _jb(jb[3]) * kn.grad_w_cubic_coef(gb.r, h)
-        e = e + jnp.sum(cwb * (_ii(i[4]) * gb.dx + _ii(i[5]) * gb.dy
-                               + _ii(i[6]) * gb.dz), -1)
+        e = jnp.sum(cwb * (_ii(i[4]) * gb.dx + _ii(i[5]) * gb.dy
+                           + _ii(i[6]) * gb.dz), -1)
         return e[None]
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 1, engine)[0]
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 1, engine)[0]
 
 
 def stiffness_accel_pass(fl, bd, col_count, dims, dims_b, cfg,
@@ -425,21 +604,57 @@ def stiffness_accel_pass(fl, bd, col_count, dims, dims_b, cfg,
     fl: [pos3, mass, stiff]; bd: [pos3, mass]."""
     h = cfg.radius
 
-    def body(i, j, jb):
+    def fluid(i, j, want_j):
         g = _geom(i, j)
-        coef = _jb(j[3]) * (_ii(i[4]) + _jb(j[4])) \
-            * kn.grad_w_cubic_coef(g.r, h)
-        ax = jnp.sum(coef * g.dx, -1)
-        ay = jnp.sum(coef * g.dy, -1)
-        az = jnp.sum(coef * g.dz, -1)
+        s = (_ii(i[4]) + _jb(j[4])) * kn.grad_w_cubic_coef(g.r, h)
+        sx, sy, sz = s * g.dx, s * g.dy, s * g.dz
+        mj = _jb(j[3])
+        out_i = jnp.stack([jnp.sum(mj * sx, -1), jnp.sum(mj * sy, -1),
+                           jnp.sum(mj * sz, -1)])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        out_j = jnp.stack([-jnp.sum(mi * sx, -2), -jnp.sum(mi * sy, -2),
+                           -jnp.sum(mi * sz, -2)])
+        return out_i, out_j
+
+    def bdry(i, jb):
         gb = _geom(i, jb)
         coefb = _jb(jb[3]) * _ii(i[4]) * kn.grad_w_cubic_coef(gb.r, h)
-        ax = ax + jnp.sum(coefb * gb.dx, -1)
-        ay = ay + jnp.sum(coefb * gb.dy, -1)
-        az = az + jnp.sum(coefb * gb.dz, -1)
-        return jnp.stack([ax, ay, az])
+        return jnp.stack([jnp.sum(coefb * gb.dx, -1),
+                          jnp.sum(coefb * gb.dy, -1),
+                          jnp.sum(coefb * gb.dz, -1)])
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 3, engine)
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 3, engine)
+
+
+def _lambda_terms(i, jf, h, rho0, want_j):
+    """Shared PBD density+lambda sums: [rho, gsumx, gsumy, gsumz, slam]."""
+    g = _geom(i, jf)
+    w = kn.w_cubic(g.r, h)
+    cw = kn.grad_w_cubic_coef(g.r, h) / rho0
+    r2c2 = cw * cw * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz)
+    mj = _jb(jf[3])
+    mcj = mj * cw
+    out_i = jnp.stack([
+        jnp.sum(mj * w, -1),
+        jnp.sum(mcj * g.dx, -1),
+        jnp.sum(mcj * g.dy, -1),
+        jnp.sum(mcj * g.dz, -1),
+        jnp.sum(mj * mj * r2c2, -1),
+    ])
+    if not want_j:
+        return out_i, None
+    mi = _ii(i[3])
+    mci = mi * cw
+    out_j = jnp.stack([
+        jnp.sum(mi * w, -2),
+        -jnp.sum(mci * g.dx, -2),
+        -jnp.sum(mci * g.dy, -2),
+        -jnp.sum(mci * g.dz, -2),
+        jnp.sum(mi * mi * r2c2, -2),
+    ])
+    return out_i, out_j
 
 
 def pbd_lambda_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
@@ -449,23 +664,20 @@ def pbd_lambda_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
     fl/bd: [pos3, mass]."""
     h = cfg.radius
 
-    def body(i, j, jb):
-        def term(jf):
-            g = _geom(i, jf)
-            w = kn.w_cubic(g.r, h)
-            mc = _jb(jf[3]) * kn.grad_w_cubic_coef(g.r, h) / cfg.rho0
-            rho = jnp.sum(_jb(jf[3]) * w, -1)
-            gx = jnp.sum(mc * g.dx, -1)
-            gy = jnp.sum(mc * g.dy, -1)
-            gz = jnp.sum(mc * g.dz, -1)
-            slam = jnp.sum(mc * mc
-                           * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz), -1)
-            return jnp.stack([rho, gx, gy, gz, slam])
+    def fluid(i, j, want_j):
+        return _lambda_terms(i, j, h, cfg.rho0, want_j)
 
-        return term(j) + term(jb)
+    def bdry(i, jb):
+        return _lambda_terms(i, jb, h, cfg.rho0, False)[0]
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 5, engine)
 
+
+# ----------------------------------------------------------------------
+# fused passes — multiple physics sums that read the same candidate
+# streams share one traversal (the round-1/2 perf lever: per-pair kernel
+# evaluation and candidate traffic dominate; extra reductions are cheap)
+# ----------------------------------------------------------------------
 
 def density_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
                            engine="xla"):
@@ -474,24 +686,206 @@ def density_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
     both. Outputs [rho, numx, numy, numz, den]."""
     h = cfg.radius
 
-    def body(i, j, jb):
-        def term(jf, rho_ref):
-            g = _geom(i, jf)
-            w = kn.w_cubic(g.r, h)
-            m = _jb(jf[3])
-            vol = m / rho_ref
-            cw = vol * kn.grad_w_cubic_coef(g.r, h)
-            return jnp.stack([
-                jnp.sum(m * w, -1),
-                jnp.sum(cw * g.dx, -1),
-                jnp.sum(cw * g.dy, -1),
-                jnp.sum(cw * g.dz, -1),
-                jnp.sum(vol * w, -1),
-            ])
+    def fluid(i, j, want_j):
+        g = _geom(i, j)
+        w = kn.w_cubic(g.r, h)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        rho_i = jnp.sum(_jb(j[3]) * w, -1)[None]
+        cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
+        out_i = jnp.concatenate([rho_i, cg_i])
+        if not want_j:
+            return out_i, None
+        rho_j = jnp.sum(_ii(i[3]) * w, -2)[None]
+        return out_i, jnp.concatenate([rho_j, cg_j])
 
-        return term(j, cfg.rho0) + term(jb, cfg.rho_boundary)
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        w = kn.w_cubic(gb.r, h)
+        cw = kn.grad_w_cubic_coef(gb.r, h)
+        rho_i = jnp.sum(_jb(jb[3]) * w, -1)[None]
+        cg_i = _colorgrad_terms(i, jb, gb, w, cw, cfg.rho_boundary,
+                                False)[0]
+        return jnp.concatenate([rho_i, cg_i])
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 5, engine)
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 5, engine)
+
+
+def density_colorgrad_visc_pass(fl, bd, col_count, dims, dims_b, cfg,
+                                engine="xla"):
+    """Fused rho + color-field + Mueller-viscosity sums — one traversal of
+    [pos3, mass, vel3] serves all three (rho/colorgrad read positions only;
+    the viscosity sum over velocity DIFFERENCES is invariant to the uniform
+    gravity shift applied between them in the reference's kernel order,
+    src/BasicSPHSolver.cu:237-260). Outputs
+    [rho, numx, numy, numz, den, dvx, dvy, dvz]; caller scales dv by
+    visc*dt. Boundary contributes to rho + colorgrad only."""
+    h = cfg.radius
+
+    def fluid(i, j, want_j):
+        g = _geom(i, j)
+        w = kn.w_cubic(g.r, h)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        lap = kn.w_visc_laplacian(g.r, h) / cfg.rho0
+        tx = lap * (_jb(j[4]) - _ii(i[4]))
+        ty = lap * (_jb(j[5]) - _ii(i[5]))
+        tz = lap * (_jb(j[6]) - _ii(i[6]))
+        mj = _jb(j[3])
+        rho_i = jnp.sum(mj * w, -1)[None]
+        cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
+        dv_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
+                          jnp.sum(mj * tz, -1)])
+        out_i = jnp.concatenate([rho_i, cg_i, dv_i])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        rho_j = jnp.sum(mi * w, -2)[None]
+        dv_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
+                          -jnp.sum(mi * tz, -2)])
+        return out_i, jnp.concatenate([rho_j, cg_j, dv_j])
+
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        w = kn.w_cubic(gb.r, h)
+        cw = kn.grad_w_cubic_coef(gb.r, h)
+        rho_i = jnp.sum(_jb(jb[3]) * w, -1)[None]
+        cg_i = _colorgrad_terms(i, jb, gb, w, cw, cfg.rho_boundary,
+                                False)[0]
+        zero3 = jnp.zeros((3,) + gb.r.shape[:-1], F32)
+        return jnp.concatenate([rho_i, cg_i, zero3])
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 8, engine)
+
+
+def density_visc_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
+    """Fused rho + Mueller-viscosity sums (the surface-off WCSPH first
+    traversal). fl: [pos3, mass, vel3]; bd: [pos3, mass]. Outputs
+    [rho, dvx, dvy, dvz]."""
+    h = cfg.radius
+
+    def fluid(i, j, want_j):
+        g = _geom(i, j)
+        w = kn.w_cubic(g.r, h)
+        lap = kn.w_visc_laplacian(g.r, h) / cfg.rho0
+        tx = lap * (_jb(j[4]) - _ii(i[4]))
+        ty = lap * (_jb(j[5]) - _ii(i[5]))
+        tz = lap * (_jb(j[6]) - _ii(i[6]))
+        mj = _jb(j[3])
+        out_i = jnp.stack([jnp.sum(mj * w, -1), jnp.sum(mj * tx, -1),
+                           jnp.sum(mj * ty, -1), jnp.sum(mj * tz, -1)])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        out_j = jnp.stack([jnp.sum(mi * w, -2), -jnp.sum(mi * tx, -2),
+                           -jnp.sum(mi * ty, -2), -jnp.sum(mi * tz, -2)])
+        return out_i, out_j
+
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        rho_i = jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)
+        zero = jnp.zeros_like(rho_i)
+        return jnp.stack([rho_i, zero, zero, zero])
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 4, engine)
+
+
+def surface_pressure_pass(fl, bd, col_count, dims, dims_b, cfg,
+                          engine="xla"):
+    """Fused surface tension/air pressure (src/BasicSPHSolver.cu:332-370)
+    + symmetric pressure accel (ibid:113-165) — the second WCSPH traversal;
+    both read [pos3, mass] plus per-particle fields computed between
+    traversals. fl: [pos3, mass, rho, p, cgx, cgy, cgz]. Outputs
+    [sax, say, saz, pax, pay, paz] (pa WITHOUT the MAX_A clamp, applied
+    elementwise by the caller). Boundary contributes to pressure only."""
+    h, eps = cfg.radius, cfg.epsilon
+    rho0sq = cfg.rho0 * cfg.rho0
+
+    def fluid(i, j, want_j):
+        g = _geom(i, j)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        # surface terms
+        ci2 = i[6] * i[6] + i[7] * i[7] + i[8] * i[8]
+        cj2 = j[6] * j[6] + j[7] * j[7] + j[8] * j[8]
+        ni = jnp.sqrt(ci2)
+        gate_i = _ii(ni / jnp.maximum(eps, ni))
+        st = (0.25 / rho0sq * cfg.surface_tension
+              * (_ii(ci2) + _jb(cj2)) * kn.grad_w_surface_coef(g.r, h))
+        si = st + (cfg.air_pressure / rho0sq) * gate_i * cw
+        # pressure terms
+        over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
+        over_j = _jb(j[5] / jnp.maximum(eps, j[4] * j[4]))
+        ps = (over_i + over_j) * cw
+        mj = _jb(j[3])
+        out_i = jnp.stack([
+            jnp.sum(mj * si * g.dx, -1), jnp.sum(mj * si * g.dy, -1),
+            jnp.sum(mj * si * g.dz, -1),
+            -jnp.sum(mj * ps * g.dx, -1), -jnp.sum(mj * ps * g.dy, -1),
+            -jnp.sum(mj * ps * g.dz, -1),
+        ])
+        if not want_j:
+            return out_i, None
+        nj = jnp.sqrt(cj2)
+        gate_j = _jb(nj / jnp.maximum(eps, nj))
+        sj = st + (cfg.air_pressure / rho0sq) * gate_j * cw
+        mi = _ii(i[3])
+        out_j = jnp.stack([
+            -jnp.sum(mi * sj * g.dx, -2), -jnp.sum(mi * sj * g.dy, -2),
+            -jnp.sum(mi * sj * g.dz, -2),
+            jnp.sum(mi * ps * g.dx, -2), jnp.sum(mi * ps * g.dy, -2),
+            jnp.sum(mi * ps * g.dz, -2),
+        ])
+        return out_i, out_j
+
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        cwb = kn.grad_w_cubic_coef(gb.r, h)
+        over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
+        coefb = -_jb(jb[3]) * over_i * cwb
+        zero = jnp.zeros(gb.r.shape[:-1], F32)
+        return jnp.stack([zero, zero, zero,
+                          jnp.sum(coefb * gb.dx, -1),
+                          jnp.sum(coefb * gb.dy, -1),
+                          jnp.sum(coefb * gb.dz, -1)])
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 6, engine)
+
+
+def xsph_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
+                        engine="xla"):
+    """Fused XSPH viscosity (src/PBDSolver.cu:89-125) + color-field sums
+    (src/BasicSPHSolver.cu:277-318) — both read [pos3, mass, vel3] /
+    [pos3, mass] at the same positions in the PBD step. Outputs
+    [dvx, dvy, dvz, numx, numy, numz, den]; caller scales dv by c/rho0.
+    Boundary contributes to the color field only."""
+    h = cfg.radius
+
+    def fluid(i, j, want_j):
+        g = _geom(i, j)
+        w = kn.w_cubic(g.r, h)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        tx = w * (_jb(j[4]) - _ii(i[4]))
+        ty = w * (_jb(j[5]) - _ii(i[5]))
+        tz = w * (_jb(j[6]) - _ii(i[6]))
+        mj = _jb(j[3])
+        dv_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
+                          jnp.sum(mj * tz, -1)])
+        cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
+        out_i = jnp.concatenate([dv_i, cg_i])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        dv_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
+                          -jnp.sum(mi * tz, -2)])
+        return out_i, jnp.concatenate([dv_j, cg_j])
+
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        cg_i = _colorgrad_terms(i, jb, gb, kn.w_cubic(gb.r, h),
+                                kn.grad_w_cubic_coef(gb.r, h),
+                                cfg.rho_boundary, False)[0]
+        zero3 = jnp.zeros((3,) + gb.r.shape[:-1], F32)
+        return jnp.concatenate([zero3, cg_i])
+
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 7, engine)
 
 
 def density_alpha_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
@@ -501,31 +895,51 @@ def density_alpha_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
     Outputs [rho, gsumx, gsumy, gsumz, slam, numx, numy, numz, den]."""
     h = cfg.radius
 
-    def body(i, j, jb):
-        def term(jf, rho_ref, is_fluid):
-            g = _geom(i, jf)
-            w = kn.w_cubic(g.r, h)
-            m = _jb(jf[3])
-            cwc = kn.grad_w_cubic_coef(g.r, h)
-            mc = m * cwc
-            vol = m / rho_ref
-            cw = vol * cwc
-            slam = (jnp.sum(mc * mc * (g.dx ** 2 + g.dy ** 2 + g.dz ** 2),
-                            -1)
-                    if is_fluid else
-                    jnp.zeros(i.shape[1:3], F32))
-            return jnp.stack([
-                jnp.sum(m * w, -1),
-                jnp.sum(mc * g.dx, -1),
-                jnp.sum(mc * g.dy, -1),
-                jnp.sum(mc * g.dz, -1),
-                slam,
-                jnp.sum(cw * g.dx, -1),
-                jnp.sum(cw * g.dy, -1),
-                jnp.sum(cw * g.dz, -1),
-                jnp.sum(vol * w, -1),
-            ])
+    def fluid(i, j, want_j):
+        g = _geom(i, j)
+        w = kn.w_cubic(g.r, h)
+        cw = kn.grad_w_cubic_coef(g.r, h)
+        r2c2 = cw * cw * (g.dx * g.dx + g.dy * g.dy + g.dz * g.dz)
+        mj = _jb(j[3])
+        mcj = mj * cw
+        da_i = jnp.stack([
+            jnp.sum(mj * w, -1),
+            jnp.sum(mcj * g.dx, -1),
+            jnp.sum(mcj * g.dy, -1),
+            jnp.sum(mcj * g.dz, -1),
+            jnp.sum(mj * mj * r2c2, -1),
+        ])
+        cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
+        out_i = jnp.concatenate([da_i, cg_i])
+        if not want_j:
+            return out_i, None
+        mi = _ii(i[3])
+        mci = mi * cw
+        da_j = jnp.stack([
+            jnp.sum(mi * w, -2),
+            -jnp.sum(mci * g.dx, -2),
+            -jnp.sum(mci * g.dy, -2),
+            -jnp.sum(mci * g.dz, -2),
+            jnp.sum(mi * mi * r2c2, -2),
+        ])
+        return out_i, jnp.concatenate([da_j, cg_j])
 
-        return term(j, cfg.rho0, True) + term(jb, cfg.rho_boundary, False)
+    def bdry(i, jb):
+        gb = _geom(i, jb)
+        w = kn.w_cubic(gb.r, h)
+        cw = kn.grad_w_cubic_coef(gb.r, h)
+        mb = _jb(jb[3])
+        mcb = mb * cw
+        zero = jnp.zeros(gb.r.shape[:-1], F32)
+        da_i = jnp.stack([
+            jnp.sum(mb * w, -1),
+            jnp.sum(mcb * gb.dx, -1),
+            jnp.sum(mcb * gb.dy, -1),
+            jnp.sum(mcb * gb.dz, -1),
+            zero,
+        ])
+        cg_i = _colorgrad_terms(i, jb, gb, w, cw, cfg.rho_boundary,
+                                False)[0]
+        return jnp.concatenate([da_i, cg_i])
 
-    return _run(body, fl, bd, col_count, dims, dims_b, 9, engine)
+    return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 9, engine)

@@ -124,15 +124,45 @@ inline uint8_t quantize(uint8_t r, uint8_t g, uint8_t b) {
   return static_cast<uint8_t>((ri * 7 + gi) * 6 + bi);
 }
 
+// Nearest-palette LUT over a 32^3 RGB lattice (same scheme as the Python
+// fallback's _quantize_lut: lattice value i*255/31, pixel bucket v>>3,
+// first-min tie-breaking), so custom palettes (e.g. the renderer's density
+// ramp) ride the native path too.
+void build_lut(const uint8_t* pal, std::vector<uint8_t>& lut) {
+  lut.resize(32 * 32 * 32);
+  double lat[32];
+  for (int i = 0; i < 32; ++i) lat[i] = i * 255.0 / 31.0;
+  for (int r = 0; r < 32; ++r)
+    for (int g = 0; g < 32; ++g)
+      for (int b = 0; b < 32; ++b) {
+        double best = 1e30;
+        int best_i = 0;
+        for (int p = 0; p < 256; ++p) {
+          const double dr = lat[r] - pal[p * 3];
+          const double dg = lat[g] - pal[p * 3 + 1];
+          const double db = lat[b] - pal[p * 3 + 2];
+          const double d = dr * dr + dg * dg + db * db;
+          if (d < best) {
+            best = d;
+            best_i = p;
+          }
+        }
+        lut[(r * 32 + g) * 32 + b] = static_cast<uint8_t>(best_i);
+      }
+}
+
 }  // namespace
 
 extern "C" {
 
 // frames: n_frames * h * w * 3 uint8 RGB. delay_cs: per-frame delay in
-// centiseconds. Returns 0 on success, negative errno-style on failure.
-int cfp_write_gif(const char* path, const uint8_t* frames, int n_frames,
-                  int h, int w, int delay_cs) {
+// centiseconds. pal: optional 256*3 uint8 RGB palette (nullptr -> builtin
+// 6x7x6 cube). Returns 0 on success, negative errno-style on failure.
+int cfp_write_gif_pal(const char* path, const uint8_t* frames, int n_frames,
+                      int h, int w, int delay_cs, const uint8_t* pal) {
   if (n_frames <= 0 || h <= 0 || w <= 0) return -22;
+  std::vector<uint8_t> lut;
+  if (pal != nullptr) build_lut(pal, lut);
   std::vector<uint8_t> buf;
   buf.reserve(1 << 20);
   const char hdr[] = "GIF89a";
@@ -142,7 +172,11 @@ int cfp_write_gif(const char* path, const uint8_t* frames, int n_frames,
   buf.push_back(0xF7);  // global color table, 256 entries
   buf.push_back(0);
   buf.push_back(0);
-  palette(buf);
+  if (pal != nullptr) {
+    buf.insert(buf.end(), pal, pal + 256 * 3);
+  } else {
+    palette(buf);
+  }
   // NETSCAPE loop-forever
   const uint8_t loop[] = {0x21, 0xFF, 0x0B, 'N', 'E', 'T', 'S', 'C', 'A',
                           'P', 'E', '2', '.', '0', 0x03, 0x01, 0x00, 0x00,
@@ -152,8 +186,16 @@ int cfp_write_gif(const char* path, const uint8_t* frames, int n_frames,
   std::vector<uint8_t> idx(static_cast<size_t>(h) * w);
   for (int f = 0; f < n_frames; ++f) {
     const uint8_t* fr = frames + static_cast<size_t>(f) * h * w * 3;
-    for (size_t p = 0; p < idx.size(); ++p) {
-      idx[p] = quantize(fr[p * 3], fr[p * 3 + 1], fr[p * 3 + 2]);
+    if (pal != nullptr) {
+      for (size_t p = 0; p < idx.size(); ++p) {
+        const int r = fr[p * 3] >> 3, g = fr[p * 3 + 1] >> 3,
+                  b = fr[p * 3 + 2] >> 3;
+        idx[p] = lut[(r * 32 + g) * 32 + b];
+      }
+    } else {
+      for (size_t p = 0; p < idx.size(); ++p) {
+        idx[p] = quantize(fr[p * 3], fr[p * 3 + 1], fr[p * 3 + 2]);
+      }
     }
     // graphics control
     buf.push_back(0x21);
@@ -187,6 +229,11 @@ int cfp_write_gif(const char* path, const uint8_t* frames, int n_frames,
   const size_t written = std::fwrite(buf.data(), 1, buf.size(), fp);
   std::fclose(fp);
   return written == buf.size() ? 0 : -5;
+}
+
+int cfp_write_gif(const char* path, const uint8_t* frames, int n_frames,
+                  int h, int w, int delay_cs) {
+  return cfp_write_gif_pal(path, frames, n_frames, h, w, delay_cs, nullptr);
 }
 
 }  // extern "C"

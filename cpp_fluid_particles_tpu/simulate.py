@@ -134,6 +134,7 @@ Key 3 - Restart Simulation Using PBD Solver
 Key R - Reset Viewpoint
 Key , - Zoom In
 Key . - Zoom Out
+m DX DY - Mouse-drag rotate by (DX, DY) pixels
 """
 
 
@@ -166,7 +167,18 @@ def run_interactive(args) -> int:
             return 0
         if not line:
             return 0
-        for key in (line.rstrip("\n") or " "):
+        stripped = line.rstrip("\n")
+        if stripped[:1] in "mM":
+            # mouse-drag rotate (src/main.cpp:197-221): rot += d * 180/720
+            try:
+                dx, dy = (float(v) for v in stripped[1:].split())
+                cam = cam._replace(rot_x=cam.rot_x + dy * 180.0 / 720.0,
+                                   rot_y=cam.rot_y + dx * 180.0 / 720.0)
+                draw()
+            except ValueError:
+                print("usage: m DX DY")
+            continue
+        for key in (stripped or " "):
             if key == " ":
                 running = not running
             elif key in "nN":

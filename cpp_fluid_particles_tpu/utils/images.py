@@ -130,15 +130,17 @@ def write_gif(path: str, frames: Sequence[np.ndarray],
     """frames: list of (H, W, 3) float [0,1] or uint8 images.
 
     palette: optional (256, 3) uint8 custom palette (e.g.
-    ``render.renderer_palette()``); default is the generic 6x7x6 cube."""
-    if palette is None:
-        try:
-            from ..runtime import native  # C++ fast path (cube palette)
-            if native.available():
-                native.write_gif(path, [to_uint8(f) for f in frames], fps)
-                return
-        except Exception:
-            pass
+    ``render.renderer_palette()``); default is the generic 6x7x6 cube.
+    Both paths use the native C++ encoder when available (custom palettes
+    quantise through the same 32^3 LUT scheme as the Python fallback)."""
+    try:
+        from ..runtime import native  # C++ fast path
+        if native.available():
+            native.write_gif(path, [to_uint8(f) for f in frames], fps,
+                             palette=palette)
+            return
+    except Exception:
+        pass
     _write_gif_py(path, frames, fps, palette)
 
 

@@ -202,6 +202,75 @@ def boundary_mass(bpos, h, rhoB):
     return rhoB / np.maximum(EPS, wsum)
 
 
+# -- full DFSPH step (src/DFSPHSolver.cu:33-72) ------------------------
+
+def dfsph_step(pos, vel, mass, bpos, bmass, cfg, dt, warm_stiff):
+    """One full DFSPH frame, all-pairs, float64 — including the reference's
+    warm-start semantics: the carried stiffness is applied through the SAME
+    correction kernel as in-loop iterations, i.e. vel += a/dt
+    (src/DFSPHSolver.cu project: correctDensityError_CUDA does
+    ``velFluid[i] += a / dt``), while the divergence loop's correction is
+    vel += a (``velFluid[i] += a; // dt is already included``).
+    Returns (pos, vel, rho, new_warm_stiff, div_iters, den_iters)."""
+    pos = pos.astype(np.float64)
+    vel = vel.astype(np.float64)
+    warm_stiff = np.asarray(warm_stiff, np.float64)
+    h = cfg.radius
+    n = pos.shape[0]
+    rho, alpha = density_alpha(pos, mass, bpos, bmass, h, cfg.epsilon)
+
+    # divergence solve (src/DFSPHSolver.cu:331-363)
+    tau_div = cfg.dfsph_divergence_threshold * n * cfg.rho0
+
+    def div_error(v):
+        e = velocity_divergence(pos, v, mass, bpos, bmass, h)
+        err = np.maximum(0.0, e)
+        err = np.where((rho + dt * err < cfg.rho0) & (rho <= cfg.rho0),
+                       0.0, err)
+        return err, err * alpha
+
+    err, stiff = div_error(vel)
+    div_it, total = 0, np.inf
+    while (div_it < 1 or total > tau_div) and div_it < cfg.dfsph_max_iter:
+        vel = vel + stiffness_accel(pos, mass, stiff, bpos, bmass, h)
+        err, stiff = div_error(vel)
+        total = np.abs(err).sum()
+        div_it += 1
+
+    # non-pressure forces (inherited BasicSPH force/diffuse/surface)
+    vel = vel + dt * np.asarray(cfg.gravity)
+    vel = vel + viscosity_dv(pos, vel, mass, h, cfg.rho0, cfg.visc, dt)
+    if cfg.surface_tension > EPS or cfg.air_pressure > EPS:
+        cg = color_gradient(pos, mass, bpos, bmass, h, cfg.rho0,
+                            cfg.rho_boundary)
+        vel = vel + surface_accel(pos, mass, cg, h, cfg.rho0,
+                                  cfg.surface_tension, cfg.air_pressure) * dt
+
+    # density solve with warm start (src/DFSPHSolver.cu:160-210)
+    tau_den = cfg.dfsph_density_threshold * n * cfg.rho0
+
+    def den_error(v):
+        e = velocity_divergence(pos, v, mass, bpos, bmass, h)
+        err = np.maximum(0.0, dt * e + rho - cfg.rho0)
+        return err, err * alpha
+
+    vel = vel + stiffness_accel(pos, mass, warm_stiff, bpos, bmass, h) / dt
+    err, stiff = den_error(vel)
+    warm = stiff.copy()
+    den_it, total = 0, np.inf
+    while (den_it < 2 or total > tau_den) and den_it < cfg.dfsph_max_iter:
+        vel = vel + stiffness_accel(pos, mass, stiff, bpos, bmass, h) / dt
+        err, stiff = den_error(vel)
+        warm = warm + stiff
+        den_it += 1
+        if den_it >= 2:
+            total = np.abs(err).sum()
+
+    pos, vel = enforce_boundary(pos + dt * vel, vel,
+                                np.asarray(cfg.space_size))
+    return pos, vel, rho, warm, div_it, den_it
+
+
 # -- full WCSPH step (src/BasicSPHSolver.cu:237-260) -------------------
 
 def enforce_boundary(pos, vel, space):

@@ -43,6 +43,41 @@ def test_wcsph_golden_vs_brute_force(scene):
                                rtol=2e-4, atol=1e-6)
 
 
+def test_dfsph_golden_two_steps_warm_start(scene):
+    """Two full DFSPH frames vs the all-pairs float64 oracle. The second
+    frame exercises the warm start: the carried stiffness must be applied
+    as vel += a/dt (src/DFSPHSolver.cu correctDensityError_CUDA) — a
+    missing /dt scale (~1/dt = 500x too weak) blows the tolerance here.
+    The block rests on the floor so the density solve has real work (a
+    free-falling block has zero density error and a trivially zero warm
+    start)."""
+    pos0 = small_block(origin=(0.16, 0.006, 0.16))
+    sim = cfp.Simulation(solver="dfsph", cfg=CFG, fluid_pos=pos0,
+                         warmup=False)
+    bpos = np.asarray(scene.b_pos, np.float64)
+    bmass = np.asarray(scene.b_mass, np.float64)
+    mass = np.full((pos0.shape[0],), CFG.m0, np.float64)
+    rpos, rvel = pos0.astype(np.float64), np.zeros_like(pos0, np.float64)
+    rwarm = np.zeros((pos0.shape[0],), np.float64)
+
+    for step in range(2):
+        sim.step()
+        rpos, rvel, rrho, rwarm, rdiv_it, rden_it = ref.dfsph_step(
+            rpos, rvel, mass, bpos, bmass, CFG, CFG.dt, rwarm)
+        assert int(np.asarray(sim.metrics["divergence_iters"])) == rdiv_it
+        assert int(np.asarray(sim.metrics["density_iters"])) == rden_it
+    # frame 2's warm-start impulse is carried from frame 1 and must be
+    # non-trivial (the block is settling under gravity)
+    assert np.abs(np.asarray(sim.carry.warm_stiff)).max() > 0.0
+    np.testing.assert_allclose(np.asarray(sim.state.pos), rpos,
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sim.state.vel), rvel,
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(sim.carry.warm_stiff), rwarm, rtol=5e-3,
+        atol=np.abs(rwarm).max() * 1e-3 + 1e-12)
+
+
 @pytest.mark.parametrize("solver", ["wcsph", "pbd", "dfsph"])
 def test_invariants_over_40_steps(solver):
     sim = cfp.Simulation(solver=solver, cfg=CFG, fluid_pos=small_block(),

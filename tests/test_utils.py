@@ -97,6 +97,25 @@ def test_step_timer_format():
     assert "4.40 ms" in line and "FPS" in line
 
 
+def test_native_gif_palette_parity(tmp_path):
+    """The native C++ encoder's custom-palette path (cfp_write_gif_pal)
+    must produce bitwise-identical output to the pure-Python fallback —
+    same 32^3-LUT quantisation, same LZW."""
+    from cpp_fluid_particles_tpu.runtime import native
+    from cpp_fluid_particles_tpu.utils.render import renderer_palette
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(3)
+    frames = [rng.random((24, 32, 3)).astype(np.float32) for _ in range(2)]
+    pal = renderer_palette()
+    pn = tmp_path / "native.gif"
+    pp = tmp_path / "python.gif"
+    native.write_gif(str(pn), [images.to_uint8(f) for f in frames], 12,
+                     palette=pal)
+    images._write_gif_py(str(pp), frames, 12, pal)
+    assert pn.read_bytes() == pp.read_bytes()
+
+
 def test_custom_palette_gif(tmp_path):
     from cpp_fluid_particles_tpu.utils.render import renderer_palette
     pal = renderer_palette()
