@@ -4,7 +4,10 @@ Headline (BASELINE.md): WCSPH ms/frame at 20,736 particles, dt=0.001,
 vs the reference's 4.4 ms on a GTX 1070 (README.md:7). ``vs_baseline`` is
 the speedup factor baseline_ms / our_ms (> 1 means faster than the
 reference). DFSPH and PBD frame times (dt=0.004, reference 23.0/11.3 ms)
-ride along in "details".
+ride along in "details", together with the roofline attribution per
+solver: traversals/frame, pair counts, estimated GFLOP and bytes moved,
+and the achieved TFLOP/s / HBM GB/s they imply — so a perf regression is
+attributable to "more traversals", "more pairs", or "slower traversals".
 
 Timing method: the axon TPU backend does not block in
 ``jax.block_until_ready``, so we chain N jitted steps device-side, force a
@@ -20,6 +23,68 @@ import sys
 import time
 
 import numpy as np
+
+# Rough per-pair cost model for the roofline attribution (documented
+# estimates, not measurements): one pair evaluation computes the geometry
+# (3 subs, 3 muls, 2 adds, 1 sqrt), 1-3 piecewise kernel values and a
+# handful of weighted reductions — ~50 flops; and the fused XLA executor
+# streams ~1.5 f32 operands per pair (BENCHMARKS.md measurement).
+FLOP_PER_PAIR = 50.0
+BYTES_PER_PAIR = 6.0
+
+
+def _pair_counts(sim):
+    """Fluid-fluid and fluid-boundary pair counts per traversal for the
+    CURRENT particle configuration (27-cell stencil, counted once per
+    ordered pair like the executors evaluate them; the symmetric executor
+    halves the fluid evaluations)."""
+    import jax.numpy as jnp
+    from cpp_fluid_particles_tpu.ops.grid import cell_coords
+
+    cfg = sim.cfg
+    cx, cy, cz = cfg.cell_size
+
+    def cell_hist(pos):
+        c = np.asarray(cell_coords(jnp.asarray(pos), cfg))
+        inb = ((c >= 0).all(1) & (c[:, 0] < cx) & (c[:, 1] < cy)
+               & (c[:, 2] < cz))
+        c = c[inb]
+        flat = (c[:, 0] * cy + c[:, 1]) * cz + c[:, 2]
+        return np.bincount(flat, minlength=cx * cy * cz).reshape(cx, cy, cz)
+
+    hf = cell_hist(np.asarray(sim.state.pos))
+    from cpp_fluid_particles_tpu.state import boundary_positions
+    hb = cell_hist(boundary_positions(cfg))
+
+    def stencil_sum(h):
+        p = np.pad(h, 1)
+        s = np.zeros_like(h, np.float64)
+        for dx in range(3):
+            for dy in range(3):
+                for dz in range(3):
+                    s += p[dx:dx + cx, dy:dy + cy, dz:dz + cz]
+        return s
+
+    pairs_f = float((hf * stencil_sum(hf)).sum())
+    pairs_b = float((hf * stencil_sum(hb)).sum())
+    return pairs_f, pairs_b
+
+
+def _traversals_per_frame(solver, metrics):
+    """Traversal count per frame from the solver structure + measured
+    iteration counts (see models/dense_step.py)."""
+    if solver == "wcsph":
+        return 2.0  # fused rho+colorgrad+visc, fused surface+pressure
+    if solver == "dfsph":
+        div_it = float(np.asarray(metrics.get("divergence_iters", 0)))
+        den_it = float(np.asarray(metrics.get("density_iters", 0)))
+        # rho/alpha/colorgrad + div err0 + 2/div iter + visc + surface
+        # + warm sa + den err0 + 2/den iter
+        return 5.0 + 2.0 * div_it + 2.0 * den_it
+    if solver == "pbd":
+        # 20 x (lambda + delta-pos) + fused xsph+colorgrad + surface
+        return 42.0
+    return 0.0
 
 
 def _chain_ms(sim, n_steps: int, dt: float, fetch_baseline_ms: float) -> float:
@@ -53,13 +118,34 @@ def main() -> int:
         _ = _chain_ms(sim, chain, dt, fetch_ms)  # compiles the n-step scan
         ms = _chain_ms(sim, chain, dt, fetch_ms)
         ok = bool(np.isfinite(np.asarray(sim.state.pos)).all())
-        results[solver] = {"ms_per_frame": round(ms, 3),
-                           "fps": round(1e3 / ms, 1),
-                           "vs_baseline": round(baselines[solver] / ms, 2),
-                           "finite": ok}
+
+        # roofline attribution at the end-of-run configuration
+        pairs_f, pairs_b = _pair_counts(sim)
+        trav = _traversals_per_frame(solver, sim.metrics)
+        # symmetric executor: fluid pair blocks evaluated once per
+        # unordered pair; boundary one-sided
+        evals = trav * (pairs_f / 2.0 + pairs_b)
+        gflop = evals * FLOP_PER_PAIR / 1e9
+        gbytes = evals * BYTES_PER_PAIR / 1e9
+        results[solver] = {
+            "ms_per_frame": round(ms, 3),
+            "fps": round(1e3 / ms, 1),
+            "vs_baseline": round(baselines[solver] / ms, 2),
+            "finite": ok,
+            "max_per_cell": sim.max_per_cell,
+            "grid_overflow": int(np.asarray(sim.metrics["grid_overflow"])),
+            "traversals": round(trav, 1),
+            "pairs_fluid_m": round(pairs_f / 1e6, 1),
+            "pairs_boundary_m": round(pairs_b / 1e6, 1),
+            "est_gflop_per_frame": round(gflop, 2),
+            "achieved_tflops": round(gflop / ms, 3),
+            "hbm_gbps": round(gbytes / ms * 1e3, 1),
+        }
         print(f"# {solver}: {ms:.2f} ms/frame ({1e3/ms:.1f} FPS), "
               f"speedup vs {baselines[solver]} ms baseline: "
-              f"{baselines[solver]/ms:.2f}x", file=sys.stderr)
+              f"{baselines[solver]/ms:.2f}x | {trav:.0f} traversals, "
+              f"{results[solver]['achieved_tflops']} TFLOP/s, "
+              f"K={sim.max_per_cell}", file=sys.stderr)
 
     headline = results["wcsph"]
     print(json.dumps({
@@ -72,6 +158,8 @@ def main() -> int:
                         "(reference README.md:6-9)",
             "chain_steps": chain,
             "fetch_baseline_ms": round(fetch_ms, 2),
+            "flop_per_pair_model": FLOP_PER_PAIR,
+            "bytes_per_pair_model": BYTES_PER_PAIR,
             **{f"{k}_{kk}": vv for k, v in results.items()
                for kk, vv in v.items()},
         },

@@ -32,6 +32,7 @@ from ..ops.dense import (
     read_dense,
 )
 from ..ops.grid import POS_PAD
+from ..parallel.mesh import shard_particles
 from ..state import FluidState
 from . import dfsph as dfsph_mod
 from . import pbd as pbd_mod
@@ -168,6 +169,9 @@ def _merge_back(idx: DenseIndex, gathered: jnp.ndarray, fb_pos, fb_vel):
 def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
                engine: str = "xla"):
+    # under spatial_sharding, particle-indexed (N,) state is sharded over
+    # the mesh (not replicated) — memory and scatter/gather scale 1/devices
+    state, carry = shard_particles((state, carry))
     idx = build_dense_index(state.pos, cfg, dims)
     colc = idx.col_count
     base = fill_dense(
@@ -220,8 +224,8 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
         [pos_d, vel_d, rho[None], p[None]], 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
-    new_state = state._replace(pos=pos, vel=vel, density=out[6],
-                               pressure=out[7])
+    new_state = shard_particles(state._replace(
+        pos=pos, vel=vel, density=out[6], pressure=out[7]))
     metrics = {"grid_overflow": idx.overflow,
                "active_cells": jnp.sum(idx.col_count > 0)}
     return new_state, carry, metrics
@@ -234,6 +238,7 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
 def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
                engine: str = "xla"):
+    state, carry = shard_particles((state, carry))
     idx = build_dense_index(state.pos, cfg, dims)
     colc = idx.col_count
     base = fill_dense(
@@ -348,8 +353,9 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
         [pos_d, vel_d, rho[None], warm_d[None]], 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
-    new_state = state._replace(pos=pos, vel=vel, density=out[6])
-    new_carry = dfsph_mod.DFSPHCarry(warm_stiff=out[7])
+    new_state = shard_particles(state._replace(pos=pos, vel=vel,
+                                               density=out[6]))
+    new_carry = shard_particles(dfsph_mod.DFSPHCarry(warm_stiff=out[7]))
     metrics = {
         "grid_overflow": idx.overflow,
         "active_cells": jnp.sum(idx.col_count > 0),
@@ -368,6 +374,7 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
 def pbd_step(state: FluidState, carry, scene_d: DenseScene,
              cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
              engine: str = "xla"):
+    state, carry = shard_particles((state, carry))
     idx = build_dense_index(state.pos, cfg, dims)
     colc = idx.col_count
     base = fill_dense(
@@ -433,10 +440,12 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
     pos_last = jnp.where(idx.valid[:, None], out[7:10].T, state.pos)
-    new_state = state._replace(pos=pos, vel=vel, density=out[6])
+    new_state = shard_particles(state._replace(pos=pos, vel=vel,
+                                               density=out[6]))
+    new_carry = shard_particles(pbd_mod.PBDCarry(pos_last=pos_last))
     metrics = {"grid_overflow": idx.overflow,
                "active_cells": jnp.sum(idx.col_count > 0)}
-    return new_state, pbd_mod.PBDCarry(pos_last=pos_last), metrics
+    return new_state, new_carry, metrics
 
 
 DENSE_STEPS = {"wcsph": wcsph_step, "dfsph": dfsph_step, "pbd": pbd_step}

@@ -87,3 +87,22 @@ def replicate(x):
     return jax.tree_util.tree_map(
         lambda a: jax.lax.with_sharding_constraint(
             a, NamedSharding(mesh, P())), x)
+
+
+def shard_particles(tree):
+    """Constrain every (N, ...) array leaf of a particle-state pytree to be
+    sharded along axis 0 over the mesh — memory and scatter/gather work
+    then scale 1/devices instead of replicating O(N x devices) (the 1M-
+    particle configuration's requirement). No-op without an active
+    spatial_sharding context."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return tree
+
+    def con(a):
+        if getattr(a, "ndim", 0) < 1:
+            return a
+        spec = P(AXIS, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(con, tree)

@@ -78,6 +78,50 @@ def test_graft_entry_contract():
     assert np.isfinite(np.asarray(st.pos)).all()
 
 
+def test_sharded_particle_state_100k_matches():
+    """Sharded-vs-single equivalence at >=100k particles with the particle
+    state sharded along N (not replicated): one dense WCSPH step on the
+    scaled dam scene over the 8-device mesh must match the single-device
+    run, and the jit must accept explicitly N-sharded inputs (the memory
+    layout the 1M-particle v5e-8 configuration uses)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cpp_fluid_particles_tpu.models import dense_step as D
+    from cpp_fluid_particles_tpu.ops import dense as dn
+    from cpp_fluid_particles_tpu.state import boundary_positions
+
+    cfg, pos = cfp.scaled_dam_scene(110_000)
+    assert pos.shape[0] >= 100_000
+    state = make_fluid_state(pos, cfg)
+    bpos = boundary_positions(cfg)
+    kb = D.boundary_k(bpos, cfg)
+    dims = dn.dims_for(cfg)
+    dims_b = dn.dims_for(cfg, kb)
+    scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xla")
+    dt = jnp.float32(cfg.dt)
+
+    def step(st, sd, d):
+        s2, _, m = D.wcsph_step(st, (), sd, cfg, d, dims, dims_b,
+                                engine="xla")
+        return s2, m["grid_overflow"]
+
+    ref, ov = jax.jit(step)(state, scene_d, dt)
+    assert int(np.asarray(ov)) == 0
+
+    mesh = parallel.make_mesh(8)
+    npart = NamedSharding(mesh, P(parallel.AXIS))
+    sharded_in = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, npart) if a.ndim >= 1 else a, state)
+    with parallel.spatial_sharding(mesh):
+        sh, _ = jax.jit(step)(sharded_in, scene_d, dt)
+    # outputs stay sharded along N — no O(N x devices) replication
+    out_sharding = sh.pos.sharding
+    assert not out_sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(sh.pos), np.asarray(ref.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh.density),
+                               np.asarray(ref.density), rtol=1e-5)
+
+
 def test_sharded_dense_engine_matches(setup):
     """The dense engine under x-slab spatial sharding must match the
     unsharded run exactly (GSPMD halo exchange over the ghosted grid)."""

@@ -35,6 +35,39 @@ def test_scaled_dam_scene_smoke():
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
 
 
+def test_auto_capacity_no_drop():
+    """A frame whose grid build would drop particles (occupancy beyond
+    max_per_cell) must re-run at a higher K — the no-drop guarantee the
+    reference gets from dynamic cellStart ranges (src/SPHSystem.cu:114-127).
+    The retried frame must equal a from-scratch run at the higher K."""
+    cfg = CFG.replace(max_per_cell=4)
+    pos = small_block()
+    sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+                         warmup=False)
+    sim.step()
+    assert sim.max_per_cell > 4
+    assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
+    sim2 = cfp.Simulation(
+        solver="wcsph", cfg=cfg.replace(max_per_cell=sim.max_per_cell),
+        fluid_pos=pos, warmup=False, auto_capacity=False)
+    sim2.step()
+    np.testing.assert_array_equal(np.asarray(sim.state.pos),
+                                  np.asarray(sim2.state.pos))
+
+
+def test_auto_capacity_in_run_scan():
+    """Overflow anywhere inside a scanned chunk (not just its last frame)
+    triggers the capacity retry."""
+    cfg = CFG.replace(max_per_cell=4)
+    pos = small_block()
+    sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+                         warmup=False)
+    sim.run_scan(4)
+    assert sim.max_per_cell > 4
+    assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+
 def test_grad_coef_consistent_with_vector_form():
     import jax.numpy as jnp
     from cpp_fluid_particles_tpu.ops import kernels as kn
