@@ -68,6 +68,9 @@ class SimConfig:
     #               passes (each fluid pair block evaluated once, reduced
     #               along both axes; fastest on the axon-tunneled TPU
     #               runtime; zero gathers)
+    # "xlac"      : occupied-column compacted grid (ops/compact.py) —
+    #               pair work scales with fluid-occupied columns instead
+    #               of the whole domain; column bound auto-escalated
     # "xla27"     : dense grid, plain 27-offset XLA loop (differential
     #               oracle for the symmetric executor)
     # "pallas"    : dense grid + Pallas column kernels (candidates resident

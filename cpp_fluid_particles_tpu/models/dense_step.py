@@ -15,13 +15,14 @@ is < POS_GUARD, which gates the elementwise position clamps.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
+from ..ops import compact as cp
 from ..ops import pallas_passes as pp
 from ..ops.dense import (
     DenseDims,
@@ -44,16 +45,57 @@ POS_GUARD = POS_PAD / 2.0
 def _bd(scene_d, engine):
     """Boundary operand for the executor: ghosted dense for the XLA
     executors, prebuilt candidate tensor for the Pallas executors."""
-    return scene_d.bd if engine in ("xla", "xla27") else scene_d.bd_jcols
+    if engine in ("xla", "xla27", "xlac"):
+        return scene_d.bd
+    return scene_d.bd_jcols
+
+
+def _layout(pos, cfg, dims, engine, nco):
+    """Engine-dispatched grid layout: (index, pass ctx, fill, read).
+
+    'xlac' uses the occupied-column compacted layout (ops/compact.py,
+    NCO = static column bound); the other engines use the full ghosted
+    dense grid (ops/dense.py)."""
+    if engine == "xlac":
+        assert nco > 0, "engine='xlac' requires the nco column bound"
+        idx = cp.build_compact_index(pos, cfg, dims, nco)
+        return (idx, (idx, nco),
+                lambda fields, fills: cp.fill_compact(idx, fields, fills,
+                                                      dims, nco),
+                lambda arr: cp.read_compact(idx, arr))
+    idx = build_dense_index(pos, cfg, dims)
+    return (idx, idx.col_count,
+            lambda fields, fills: fill_dense(idx, fields, fills, dims),
+            lambda arr: read_dense(idx, arr))
+
+
+def _base_metrics(idx):
+    if isinstance(idx, cp.CompactIndex):
+        m = {"grid_overflow": idx.overflow,
+             "column_overflow": idx.col_overflow,
+             "active_cells": idx.n_cols,
+             "max_occupancy": idx.max_occupancy}
+    else:
+        m = {"grid_overflow": idx.overflow,
+             "column_overflow": jnp.int32(0),
+             "active_cells": jnp.sum(idx.col_count > 0),
+             "max_occupancy": idx.max_occupancy}
+    # packed copy of the auto-capacity scalars: ONE host fetch syncs the
+    # step and reads all three (each separate fetch is a full relay round
+    # trip, ~45 ms on the tunneled runtime)
+    m["capacity"] = jnp.stack([m["grid_overflow"], m["column_overflow"],
+                               m["max_occupancy"]])
+    return m
 
 
 class DenseScene(NamedTuple):
     """Static boundary data [posx, posy, posz, mass]: ghosted dense form
-    (for the XLA executor) and the prebuilt candidate tensor
-    (NC, 4, CZ, 27Kb) for the Pallas column kernels."""
+    (for the XLA executors) and the prebuilt candidate tensor
+    (NC, 4, CZ, 27Kb) for the Pallas column kernels — only materialised
+    (27x the ghosted size) when a Pallas engine is selected."""
 
     bd: jnp.ndarray
-    bd_jcols: jnp.ndarray
+    bd_jcols: Optional[jnp.ndarray]
 
 
 def build_dense_scene(cfg: SimConfig, b_pos: np.ndarray, kb: int,
@@ -69,7 +111,11 @@ def build_dense_scene(cfg: SimConfig, b_pos: np.ndarray, kb: int,
     # the "boundary" j-source contributes nothing here (zero masses): the
     # W-sum runs boundary-vs-boundary through the fluid slot
     zero_bd = fl.at[3].set(0.0)
-    if engine not in ("xla", "xla27"):
+    if engine in ("xla", "xla27", "xlac"):
+        # one-time setup: the plain dense executor serves all XLA engines
+        # (xlac consumes the same ghosted bd tensor per step)
+        engine = "xla"
+    else:
         zero_bd = pp.build_j(zero_bd, dims_b)
     wsum = pp.density_pass(fl, zero_bd, idx.col_count, dims_b,
                            dims_b, cfg, engine)
@@ -77,7 +123,8 @@ def build_dense_scene(cfg: SimConfig, b_pos: np.ndarray, kb: int,
                                             read_dense(idx, wsum[None])[0])
     bd = fill_dense(idx, [b_pos[:, 0], b_pos[:, 1], b_pos[:, 2], b_mass],
                     [POS_PAD, POS_PAD, POS_PAD, 0.0], dims_b)
-    return DenseScene(bd=bd, bd_jcols=pp.build_j(bd, dims_b))
+    jcols = None if engine == "xla" else pp.build_j(bd, dims_b)
+    return DenseScene(bd=bd, bd_jcols=jcols)
 
 
 def boundary_k(b_pos: np.ndarray, cfg: SimConfig) -> int:
@@ -136,7 +183,7 @@ def _accel_clamp(a_d, cfg):
 
 def _grav(vel_d, cfg, dt):
     g = jnp.asarray(cfg.gravity, F32)
-    return vel_d + dt * g[:, None, None, None, None]
+    return vel_d + dt * g.reshape((3,) + (1,) * (vel_d.ndim - 1))
 
 
 def _fallback(state: FluidState, cfg, dt):
@@ -168,18 +215,15 @@ def _merge_back(idx: DenseIndex, gathered: jnp.ndarray, fb_pos, fb_vel):
 
 def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-               engine: str = "xla"):
+               engine: str = "xla", nco: int = 0):
     # under spatial_sharding, particle-indexed (N,) state is sharded over
     # the mesh (not replicated) — memory and scatter/gather scale 1/devices
     state, carry = shard_particles((state, carry))
-    idx = build_dense_index(state.pos, cfg, dims)
-    colc = idx.col_count
-    base = fill_dense(
-        idx,
+    idx, colc, fill, read = _layout(state.pos, cfg, dims, engine, nco)
+    base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]],
         [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0],
-        dims,
     )
     pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
     surface_on = (cfg.surface_tension > cfg.epsilon
@@ -220,15 +264,12 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
     pos_d = pos_d + dt * vel_d
     pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
 
-    out = read_dense(idx, jnp.concatenate(
-        [pos_d, vel_d, rho[None], p[None]], 0))
+    out = read(jnp.concatenate([pos_d, vel_d, rho[None], p[None]], 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
     new_state = shard_particles(state._replace(
         pos=pos, vel=vel, density=out[6], pressure=out[7]))
-    metrics = {"grid_overflow": idx.overflow,
-               "active_cells": jnp.sum(idx.col_count > 0)}
-    return new_state, carry, metrics
+    return new_state, carry, _base_metrics(idx)
 
 
 # ----------------------------------------------------------------------
@@ -237,17 +278,14 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
 
 def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-               engine: str = "xla"):
+               engine: str = "xla", nco: int = 0):
     state, carry = shard_particles((state, carry))
-    idx = build_dense_index(state.pos, cfg, dims)
-    colc = idx.col_count
-    base = fill_dense(
-        idx,
+    idx, colc, fill, read = _layout(state.pos, cfg, dims, engine, nco)
+    base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
          carry.warm_stiff],
         [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0],
-        dims,
     )
     pos_d, mass_d, vel_d, warm_d = base[0:3], base[3:4], base[4:7], base[7]
     pm = jnp.concatenate([pos_d, mass_d], 0)
@@ -270,13 +308,15 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     n = state.n
     f32max = jnp.float32(jnp.finfo(jnp.float32).max)
 
+    # the (pm, dynamic) group split lets the xlac executor hoist the
+    # position/mass neighborhood gather out of the Jacobi while_loops
     def div_pass(v_d):
-        return pp.divergence_pass(jnp.concatenate([pm, v_d], 0), _bd(scene_d, engine),
+        return pp.divergence_pass((pm, v_d), _bd(scene_d, engine),
                                   colc, dims, dims_b, cfg, engine)
 
     def sa_pass(s_d):
         return pp.stiffness_accel_pass(
-            jnp.concatenate([pm, s_d[None]], 0), _bd(scene_d, engine), colc, dims,
+            (pm, s_d[None]), _bd(scene_d, engine), colc, dims,
             dims_b, cfg, engine)
 
     # --- divergence solve (src/DFSPHSolver.cu:331-363) ---
@@ -307,8 +347,7 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     # --- non-pressure forces ---
     vel_d = _grav(vel_d, cfg, dt)
     vel_d = vel_d + pp.viscosity_pass(
-        jnp.concatenate([pm, vel_d], 0), colc, dims, cfg, engine) \
-        * (cfg.visc * dt)
+        (pm, vel_d), colc, dims, cfg, engine) * (cfg.visc * dt)
     if surface_on:
         # cg came fused with the density/alpha traversal above
         sa = pp.surface_pass(jnp.concatenate([pos_d, mass_d, cg], 0), colc,
@@ -349,7 +388,7 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     pos_d = pos_d + dt * vel_d
     pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
 
-    out = read_dense(idx, jnp.concatenate(
+    out = read(jnp.concatenate(
         [pos_d, vel_d, rho[None], warm_d[None]], 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
@@ -357,8 +396,7 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
                                                density=out[6]))
     new_carry = shard_particles(dfsph_mod.DFSPHCarry(warm_stiff=out[7]))
     metrics = {
-        "grid_overflow": idx.overflow,
-        "active_cells": jnp.sum(idx.col_count > 0),
+        **_base_metrics(idx),
         "divergence_iters": div_it,
         "density_iters": den_it,
         "divergence_error": div_total,
@@ -373,25 +411,22 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
 
 def pbd_step(state: FluidState, carry, scene_d: DenseScene,
              cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-             engine: str = "xla"):
+             engine: str = "xla", nco: int = 0):
     state, carry = shard_particles((state, carry))
-    idx = build_dense_index(state.pos, cfg, dims)
-    colc = idx.col_count
-    base = fill_dense(
-        idx,
+    idx, colc, fill, read = _layout(state.pos, cfg, dims, engine, nco)
+    base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          carry.pos_last[:, 0], carry.pos_last[:, 1], carry.pos_last[:, 2]],
         [POS_PAD, POS_PAD, POS_PAD, 0.0, POS_PAD, POS_PAD, POS_PAD],
-        dims,
     )
     pos_d, mass_d, plast_d = base[0:3], base[3:4], base[4:7]
 
     # --- projection, fixed maxIter iterations (src/PBDSolver.cu:225-258) ---
     def project_body(_, c):
         p_d, _ = c
-        lam5 = pp.pbd_lambda_pass(jnp.concatenate([p_d, mass_d], 0),
-                                  _bd(scene_d, engine), colc, dims, dims_b, cfg,
-                                  engine)
+        lam5 = pp.pbd_lambda_pass((p_d, mass_d),
+                                  _bd(scene_d, engine), colc, dims, dims_b,
+                                  cfg, engine)
         rho = lam5[0]
         lam = jnp.where(
             rho > cfg.rho0,
@@ -401,7 +436,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
             0.0,
         ) * cfg.pbd_relaxation
         dp = pp.stiffness_accel_pass(
-            jnp.concatenate([p_d, mass_d, lam[None]], 0), _bd(scene_d, engine), colc,
+            (p_d, mass_d, lam[None]), _bd(scene_d, engine), colc,
             dims, dims_b, cfg, engine) / cfg.rho0
         p_d = _clamp_pos_only(p_d + dp, cfg)
         return p_d, rho
@@ -435,7 +470,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     pos_d = pos_d + dt * vel_d
     pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
 
-    out = read_dense(idx, jnp.concatenate(
+    out = read(jnp.concatenate(
         [pos_d, vel_d, rho[None], plast_d], 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
@@ -443,9 +478,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     new_state = shard_particles(state._replace(pos=pos, vel=vel,
                                                density=out[6]))
     new_carry = shard_particles(pbd_mod.PBDCarry(pos_last=pos_last))
-    metrics = {"grid_overflow": idx.overflow,
-               "active_cells": jnp.sum(idx.col_count > 0)}
-    return new_state, new_carry, metrics
+    return new_state, new_carry, _base_metrics(idx)
 
 
 DENSE_STEPS = {"wcsph": wcsph_step, "dfsph": dfsph_step, "pbd": pbd_step}

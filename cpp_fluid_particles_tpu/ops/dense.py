@@ -71,6 +71,8 @@ class DenseIndex(NamedTuple):
     valid: jnp.ndarray       # (N,) bool
     col_count: jnp.ndarray   # (CX, CY) int32 fluid count per real column
     overflow: jnp.ndarray    # () int32
+    max_occupancy: jnp.ndarray  # () int32 fullest cell this step (drives
+                                #    Simulation's adaptive K)
 
 
 def build_dense_index(pos: jnp.ndarray, cfg: SimConfig,
@@ -104,10 +106,11 @@ def build_dense_index(pos: jnp.ndarray, cfg: SimConfig,
     col_count = jnp.bincount(jnp.where(valid, colid, dims.cx * dims.cy),
                              length=dims.cx * dims.cy + 1)[:-1]
     overflow = jnp.sum(inb & ~valid).astype(jnp.int32)
+    max_occ = (jnp.max(jnp.where(inb, rank, -1)) + 1).astype(jnp.int32)
     return DenseIndex(slots=slots, valid=valid,
                       col_count=col_count.reshape(dims.cx, dims.cy)
                       .astype(jnp.int32),
-                      overflow=overflow)
+                      overflow=overflow, max_occupancy=max_occ)
 
 
 def fill_dense(idx: DenseIndex, fields: Sequence[jnp.ndarray],

@@ -318,10 +318,21 @@ def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
     'pallas' (column kernels, candidates in VMEM), or 'interpret' (Pallas
     interpreter, for CPU tests).
 
-    fl: ghosted fluid dense (F, GX, GY, GZ, K). bd: for the XLA executors
-    the ghosted boundary dense (Fb, GX, GY, GZ, Kb); for 'pallas' /
-    'interpret' the PREBUILT candidate tensor (NC, Fb, CZ, 27Kb) from
-    build_j. Returns a ghosted (n_out, GX, GY, GZ, K) result."""
+    fl: ghosted fluid dense (F, GX, GY, GZ, K) — or, for 'xlac', the
+    compact (F, NCO+1, GZ, K) tensor with col_count = (CompactIndex, NCO).
+    bd: for the XLA executors the ghosted boundary dense
+    (Fb, GX, GY, GZ, Kb); for 'pallas' / 'interpret' the PREBUILT
+    candidate tensor (NC, Fb, CZ, 27Kb) from build_j. Returns a ghosted
+    (n_out, GX, GY, GZ, K) result ('xlac': compact (n_out, NCO+1, GZ, K))."""
+    if engine == "xlac":
+        from .compact import compact_pass
+        idxc, nco = col_count
+        return compact_pass(fluid_terms, bd_terms, fl, idxc, dims, nco,
+                            n_out, bd, dims_b)
+    if isinstance(fl, tuple):
+        # group splitting only pays on the compacted layout (gather
+        # hoisting); the dense executors take one stacked tensor
+        fl = jnp.concatenate(fl, 0)
     if engine == "xla":
         return column_pass_xla_sym(fluid_terms, bd_terms, fl, dims, n_out,
                                    bd, dims_b)

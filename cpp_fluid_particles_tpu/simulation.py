@@ -40,12 +40,16 @@ class Simulation:
     (src/SPHSystem.h:42-61): step() -> ms, size(), fluid/boundary accessors.
     """
 
-    # K escalation ladder for auto_capacity: the per-cell slot bound is a
-    # static shape on a fixed-shape machine; when a step reports overflow
-    # (a cell transiently holding more fluid particles than K — the
-    # reference's dynamic cellStart ranges never drop, src/SPHSystem.cu:
-    # 114-127), the step is re-run from the pre-step state at the next K.
-    CAPACITY_LADDER = (16, 24, 32, 48, 64, 96, 128)
+    # Adaptive per-cell capacity: the slot bound K is a static shape on a
+    # fixed-shape machine, and pair cost scales with K^2 — so K tracks the
+    # measured max cell occupancy. A step reporting overflow (a cell
+    # holding more fluid than K — the reference's dynamic cellStart ranges
+    # never drop, src/SPHSystem.cu:114-127) is re-run from the pre-step
+    # state at an occupancy-fitted K; calm stretches shift K back down
+    # (with hysteresis) to reclaim the (K_fit/K)^2 pair-cost factor.
+    K_MAX = 128
+    K_HEADROOM = 1.25     # downshift target: ceil(occ * headroom) to mult 4
+    DOWN_VOTES = 2        # consecutive calm checks before a downshift
 
     def __init__(
         self,
@@ -86,6 +90,8 @@ class Simulation:
         # no-drop guarantee: only the dense engines can swap K cheaply
         self.auto_capacity = auto_capacity and engine != "reference"
         self.max_per_cell = self.cfg.max_per_cell
+        self.max_columns: Optional[int] = None  # xlac column bound (NCO)
+        self._down_votes = 0
         self._boundary_pos_arg = boundary_pos
         self._fetch_ms: Optional[float] = None
         self._build_step()
@@ -123,7 +129,9 @@ class Simulation:
                 else _bpos(cfg_)
             kb = dense_step.boundary_k(b_pos, cfg_)
             self._n_boundary = int(np.asarray(b_pos).shape[0])
-            exec_engine = "xla" if engine == "dense" else engine
+            # 'dense' resolves to the occupied-column compacted executor
+            # (fastest measured on this runtime; see BENCHMARKS.md)
+            exec_engine = "xlac" if engine == "dense" else engine
             # the boundary-side scene tensors depend only on kb, not on
             # the fluid K — rebuilds on a K bump reuse them
             if not hasattr(self, "scene"):
@@ -132,24 +140,78 @@ class Simulation:
             dims = _dense.dims_for(cfg_)
             dims_b = _dense.dims_for(cfg_, kb)
             dense_solver_step = dense_step.DENSE_STEPS[self.solver_name]
+            if exec_engine == "xlac" and self.max_columns is None:
+                self.max_columns = self._initial_columns(cfg_)
+            nco = self.max_columns if exec_engine == "xlac" else 0
 
             def _step(state, carry, scene, dt):
                 return dense_solver_step(state, carry, scene, cfg_, dt,
-                                         dims, dims_b, engine=exec_engine)
+                                         dims, dims_b, engine=exec_engine,
+                                         nco=nco)
 
         donate_args = (0, 1) if self._donate else ()
         self._raw_step = _step
         self._jit_step = jax.jit(_step, donate_argnums=donate_args)
         self._multi_cache: Dict[int, Any] = {}
+        # monotone id of the compiled-step generation: bumps/downshifts
+        # rebuild the jitted step, so anything caching against it (e.g.
+        # bench.py's clean-chunk detection) keys on this
+        self.build_id = getattr(self, "build_id", 0) + 1
 
-    def _bump_capacity(self) -> bool:
-        """Escalate max_per_cell to the next ladder rung; False if maxed."""
-        ladder = [k for k in self.CAPACITY_LADDER if k > self.max_per_cell]
-        if not ladder:
-            return False
-        self.max_per_cell = ladder[0]
+    def _initial_columns(self, cfg_) -> int:
+        """xlac column bound: occupied (x,y) columns of the initial scene
+        with 1.3x headroom, rounded to 32, capped at the domain. Kept
+        tight — pair work scales with the bound, and the auto-capacity
+        retry escalates it when the fluid spreads."""
+        pos = np.asarray(self.state.pos)
+        cx, cy, _ = cfg_.cell_size
+        c = (pos[:, :2] / cfg_.cell_length).astype(np.int64)
+        ok = (c[:, 0] >= 0) & (c[:, 0] < cx) & (c[:, 1] >= 0) & (c[:, 1] < cy)
+        cols = np.unique(c[ok][:, 0] * cy + c[ok][:, 1]).size
+        cxy = cx * cy
+        return int(min(cxy, max(64, int(np.ceil(cols * 1.3 / 32)) * 32)))
+
+    @staticmethod
+    def _fit_k(occ: int, headroom: float) -> int:
+        return max(8, int(np.ceil(occ * headroom / 4)) * 4)
+
+    def _bump_capacity(self, reason: str = "k", occ: int = 0) -> bool:
+        """Escalate a capacity bound; False if maxed. reason: 'k' =
+        per-cell slots (max_per_cell), 'cols' = the xlac occupied-column
+        bound (max_columns). occ: the failed step's measured max cell
+        occupancy — lets the retry jump straight to a fitted K."""
+        if reason == "cols":
+            cx, cy, _ = self.cfg.cell_size
+            cxy = cx * cy
+            if self.max_columns is None or self.max_columns >= cxy:
+                return False
+            self.max_columns = int(
+                min(cxy, int(np.ceil(self.max_columns * 1.5 / 32)) * 32))
+        else:
+            if self.max_per_cell >= self.K_MAX:
+                return False
+            fit = self._fit_k(occ, 1.2) if occ > 0 else 0
+            self.max_per_cell = int(min(
+                self.K_MAX, max(fit, self.max_per_cell + 4)))
+        self._down_votes = 0
         self._build_step()
         return True
+
+    def _maybe_downshift(self, occ: int) -> None:
+        """Shift K back down after sustained calm (occupancy well under
+        the current bound) — reclaims the (K_fit/K)^2 pair-cost factor
+        once a splash has settled."""
+        if not self.auto_capacity or occ <= 0:
+            return
+        fit = self._fit_k(occ, self.K_HEADROOM)
+        if fit <= self.max_per_cell - 4:
+            self._down_votes += 1
+            if self._down_votes >= self.DOWN_VOTES:
+                self.max_per_cell = fit
+                self._down_votes = 0
+                self._build_step()
+        else:
+            self._down_votes = 0
 
     # ------------------------------------------------------------------
     @property
@@ -187,6 +249,17 @@ class Simulation:
         return (jax.tree_util.tree_map(jnp.copy, self.state),
                 jax.tree_util.tree_map(jnp.copy, self.carry))
 
+    @staticmethod
+    def _overflows(metrics):
+        if "capacity" in metrics:  # packed: one host round trip for all 3
+            ov_k, ov_c, occ = (int(v) for v in
+                               np.asarray(metrics["capacity"]))
+            return ov_k, ov_c, occ
+        ov_k = int(np.asarray(metrics["grid_overflow"]))
+        ov_c = int(np.asarray(metrics.get("column_overflow", 0)))
+        occ = int(np.asarray(metrics.get("max_occupancy", 0)))
+        return ov_k, ov_c, occ
+
     def _run_step_once(self, dt, fetch_ms):
         t0 = time.perf_counter()
         state, carry, metrics = self._jit_step(
@@ -194,11 +267,11 @@ class Simulation:
         )
         # force completion with a scalar host fetch (block_until_ready
         # does not block through the axon relay), then subtract the
-        # measured dispatch+fetch round trip; the overflow counter doubles
-        # as the sync value for the auto-capacity check
-        overflow = int(np.asarray(metrics["grid_overflow"]))
+        # measured dispatch+fetch round trip; the overflow counters double
+        # as the sync values for the auto-capacity check
+        ov = self._overflows(metrics)
         ms = max((time.perf_counter() - t0) * 1e3 - fetch_ms, 0.0)
-        return state, carry, metrics, overflow, ms
+        return state, carry, metrics, ov, ms
 
     def step(self, dt: Optional[float] = None) -> float:
         """Advance one frame; returns wall milliseconds (device-synced),
@@ -212,15 +285,16 @@ class Simulation:
         fetch_ms = self._fetch_baseline_ms()
         need_backup = self.nan_rollback or self.auto_capacity
         backup = self._backup() if need_backup else None
-        state, carry, metrics, overflow, ms = self._run_step_once(dt,
-                                                                  fetch_ms)
-        while self.auto_capacity and overflow > 0:
-            if not self._bump_capacity():
-                break  # ladder exhausted; keep the (dropping) result
+        state, carry, metrics, (ov_k, ov_c, occ), ms = self._run_step_once(
+            dt, fetch_ms)
+        while self.auto_capacity and (ov_k > 0 or ov_c > 0):
+            if not self._bump_capacity("cols" if ov_c > 0 else "k",
+                                       occ=occ):
+                break  # capacity exhausted; keep the (dropping) result
             self.state, self.carry = backup
             backup = self._backup()
-            state, carry, metrics, overflow, ms = self._run_step_once(
-                dt, fetch_ms)
+            state, carry, metrics, (ov_k, ov_c, occ), ms = \
+                self._run_step_once(dt, fetch_ms)
         if self.nan_rollback:
             from .utils.metrics import nan_guard
             if not bool(nan_guard(state)):
@@ -233,6 +307,7 @@ class Simulation:
         self.metrics = metrics
         self.frame += 1
         self.total_ms += ms
+        self._maybe_downshift(occ)
         return ms
 
     def run(self, n_steps: int, dt: Optional[float] = None) -> Dict[str, Any]:
@@ -244,7 +319,10 @@ class Simulation:
             "ms_median": float(np.median(times)),
             "fps": 1e3 / max(float(np.mean(times)), 1e-9),
             "last_metrics": jax.tree_util.tree_map(
-                lambda x: np.asarray(x).item(), self.metrics
+                lambda x: (np.asarray(x).item()
+                           if np.asarray(x).size == 1
+                           else np.asarray(x).tolist()),
+                self.metrics,
             ),
         }
 
@@ -270,6 +348,17 @@ class Simulation:
                     # overflow anywhere in the chunk must trigger the
                     # auto-capacity retry, not just on the last frame
                     last["grid_overflow"] = jnp.max(ms["grid_overflow"])
+                    if "column_overflow" in ms:
+                        last["column_overflow"] = jnp.max(
+                            ms["column_overflow"])
+                    if "max_occupancy" in ms:
+                        last["max_occupancy"] = jnp.max(
+                            ms["max_occupancy"])
+                    if "capacity" in ms:
+                        last["capacity"] = jnp.stack([
+                            last["grid_overflow"],
+                            last["column_overflow"],
+                            last["max_occupancy"]])
                     return st, ca, last
 
                 self._multi_cache[n] = jax.jit(multi, donate_argnums=(0, 1))
@@ -281,17 +370,19 @@ class Simulation:
             t0 = time.perf_counter()
             st, ca, m = fn(self.state, self.carry, self.scene,
                            jnp.float32(dt))
-            overflow = int(np.asarray(m["grid_overflow"]))
+            ov_k, ov_c, occ = self._overflows(m)
             ms_total = (time.perf_counter() - t0) * 1e3
-            if not (self.auto_capacity and overflow > 0):
+            if not (self.auto_capacity and (ov_k > 0 or ov_c > 0)):
                 break
-            if not self._bump_capacity():
+            if not self._bump_capacity("cols" if ov_c > 0 else "k",
+                                       occ=occ):
                 break
             self.state, self.carry = backup
             backup = self._backup()
         self.state, self.carry, self.metrics = st, ca, m
         self.frame += n_steps
         self.total_ms += ms_total
+        self._maybe_downshift(occ)
         return ms_total / n_steps
 
     # ------------------------------------------------------------------
