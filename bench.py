@@ -82,8 +82,11 @@ def _traversals_per_frame(solver, metrics):
         # + warm sa + den err0 + 2/den iter
         return 5.0 + 2.0 * div_it + 2.0 * den_it
     if solver == "pbd":
-        # 20 x (lambda + delta-pos) + fused xsph+colorgrad + surface
-        return 42.0
+        # iters x (lambda + delta-pos) + fused xsph+colorgrad + surface;
+        # the projection while_loop exits early (exactly) once all
+        # lambda are zero, so the iteration count is data-dependent
+        it = float(np.asarray(metrics.get("pbd_iters", 20)))
+        return 2.0 * it + 2.0
     return 0.0
 
 

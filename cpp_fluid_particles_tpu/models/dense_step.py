@@ -421,9 +421,18 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     )
     pos_d, mass_d, plast_d = base[0:3], base[3:4], base[4:7]
 
-    # --- projection, fixed maxIter iterations (src/PBDSolver.cu:225-258) ---
-    def project_body(_, c):
-        p_d, _ = c
+    # --- projection (src/PBDSolver.cu:225-258). The reference runs a fixed
+    # maxIter=20 iterations; here the loop exits exactly when an iteration's
+    # lambda field is all-zero (every rho <= rho0): dp is then exactly 0 and
+    # all remaining reference iterations are bitwise no-ops, so the early
+    # exit is output-identical while skipping dead traversals in the fall /
+    # settled phases ---
+    def project_cond(c):
+        it, _, _, alive = c
+        return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
+
+    def project_body(c):
+        it, p_d, _, _ = c
         lam5 = pp.pbd_lambda_pass((p_d, mass_d),
                                   _bd(scene_d, engine), colc, dims, dims_b,
                                   cfg, engine)
@@ -435,15 +444,17 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
                + cfg.epsilon),
             0.0,
         ) * cfg.pbd_relaxation
+        alive = jnp.any(lam != 0.0)
         dp = pp.stiffness_accel_pass(
             (p_d, mass_d, lam[None]), _bd(scene_d, engine), colc,
             dims, dims_b, cfg, engine) / cfg.rho0
         p_d = _clamp_pos_only(p_d + dp, cfg)
-        return p_d, rho
+        return it + 1, p_d, rho, alive
 
     zero_rho = jnp.zeros(pos_d.shape[1:], F32)
-    pos_d, rho = jax.lax.fori_loop(0, cfg.pbd_max_iter, project_body,
-                                   (pos_d, zero_rho))
+    pbd_it, pos_d, rho, _ = jax.lax.while_loop(
+        project_cond, project_body,
+        (jnp.int32(0), pos_d, zero_rho, jnp.bool_(True)))
 
     # --- velocity from position delta (src/PBDSolver.cu:55-60) ---
     vel_d = (pos_d - plast_d) / dt
@@ -478,7 +489,8 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     new_state = shard_particles(state._replace(pos=pos, vel=vel,
                                                density=out[6]))
     new_carry = shard_particles(pbd_mod.PBDCarry(pos_last=pos_last))
-    return new_state, new_carry, _base_metrics(idx)
+    metrics = {**_base_metrics(idx), "pbd_iters": pbd_it}
+    return new_state, new_carry, metrics
 
 
 DENSE_STEPS = {"wcsph": wcsph_step, "dfsph": dfsph_step, "pbd": pbd_step}

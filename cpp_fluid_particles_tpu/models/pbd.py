@@ -144,17 +144,26 @@ def step(
     """One PBD step (src/PBDSolver.cu:34-73)."""
     fg = C.make_fluid_grids(state.pos, state.mass, scene, cfg)
 
-    # step 2: iterative constraint projection, fixed maxIter iterations
-    # (src/PBDSolver.cu:225-258)
-    def project_body(_, c):
-        pos, _ = c
+    # step 2: iterative constraint projection (src/PBDSolver.cu:225-258).
+    # The reference runs a fixed maxIter=20; the loop below exits exactly
+    # when an iteration's lambda field is all-zero (every rho <= rho0): dp
+    # is then exactly 0 and all remaining reference iterations are bitwise
+    # no-ops, so the early exit is output-identical.
+    def project_cond(c):
+        it, _, _, alive = c
+        return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
+
+    def project_body(c):
+        it, pos, _, _ = c
         rho, lam = _density_lambda(fg, scene, pos, cfg)
+        alive = jnp.any(lam != 0.0)
         dp = _delta_pos(fg, scene, pos, lam, cfg)
         pos = C.enforce_boundary_pos(pos + dp, cfg)
-        return pos, rho
+        return it + 1, pos, rho, alive
 
-    pos, density = jax.lax.fori_loop(
-        0, cfg.pbd_max_iter, project_body, (state.pos, state.density)
+    pbd_it, pos, density, _ = jax.lax.while_loop(
+        project_cond, project_body,
+        (jnp.int32(0), state.pos, state.density, jnp.bool_(True))
     )
 
     # step 3: velocity from position delta (src/PBDSolver.cu:55-60)
@@ -180,5 +189,6 @@ def step(
     metrics = {
         "grid_overflow": fg.tables.overflow,
         "active_cells": fg.tables.num_active,
+        "pbd_iters": pbd_it,
     }
     return new_state, PBDCarry(pos_last=pos_last), metrics

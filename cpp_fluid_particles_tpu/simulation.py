@@ -90,6 +90,13 @@ class Simulation:
         # no-drop guarantee: only the dense engines can swap K cheaply
         self.auto_capacity = auto_capacity and engine != "reference"
         self.max_per_cell = self.cfg.max_per_cell
+        if self.auto_capacity:
+            # fit K to the initial scene right away (occupancy is exact
+            # here; a wrong guess costs a full compile + retry — at the
+            # 1M scale the lattice aliases to 27/cell and the default 16
+            # would fail its first step)
+            self.max_per_cell = self._fit_k(
+                self._initial_occupancy(), self.K_HEADROOM)
         self.max_columns: Optional[int] = None  # xlac column bound (NCO)
         self._down_votes = 0
         self._boundary_pos_arg = boundary_pos
@@ -130,8 +137,20 @@ class Simulation:
             kb = dense_step.boundary_k(b_pos, cfg_)
             self._n_boundary = int(np.asarray(b_pos).shape[0])
             # 'dense' resolves to the occupied-column compacted executor
-            # (fastest measured on this runtime; see BENCHMARKS.md)
+            # (fastest measured on this runtime; see BENCHMARKS.md) —
+            # unless its per-column neighborhood tensor (9x the compact
+            # grid, materialised per traversal) would not fit comfortably
+            # in HBM, where the full-grid 27-offset executor wins (large
+            # scenes are densely occupied anyway, so compaction buys
+            # nothing there).
             exec_engine = "xlac" if engine == "dense" else engine
+            if engine == "dense":
+                if not hasattr(self, "_nco_est"):
+                    self._nco_est = self._initial_columns(cfg_)
+                gz = cfg_.cell_size[2] + 2
+                j9_bytes = 8 * self._nco_est * 9 * gz * cfg_.max_per_cell * 4
+                if j9_bytes > 1.5e9:
+                    exec_engine = "xla27"
             # the boundary-side scene tensors depend only on kb, not on
             # the fluid K — rebuilds on a K bump reuse them
             if not hasattr(self, "scene"):
@@ -157,6 +176,18 @@ class Simulation:
         # rebuild the jitted step, so anything caching against it (e.g.
         # bench.py's clean-chunk detection) keys on this
         self.build_id = getattr(self, "build_id", 0) + 1
+
+    def _initial_occupancy(self) -> int:
+        """Max cell occupancy of the initial particle layout (host-side)."""
+        pos = np.asarray(self.state.pos)
+        cfg_ = self.cfg
+        cx, cy, cz = cfg_.cell_size
+        c = (pos / cfg_.cell_length).astype(np.int64)
+        ok = ((c >= 0).all(1) & (c[:, 0] < cx) & (c[:, 1] < cy)
+              & (c[:, 2] < cz))
+        c = c[ok]
+        flat = (c[:, 0] * cy + c[:, 1]) * cz + c[:, 2]
+        return int(np.bincount(flat).max()) if flat.size else 1
 
     def _initial_columns(self, cfg_) -> int:
         """xlac column bound: occupied (x,y) columns of the initial scene
@@ -288,10 +319,13 @@ class Simulation:
         state, carry, metrics, (ov_k, ov_c, occ), ms = self._run_step_once(
             dt, fetch_ms)
         while self.auto_capacity and (ov_k > 0 or ov_c > 0):
+            # restore FIRST: the failed call donated the old state buffers
+            # and the rebuild may inspect self.state (the commit below the
+            # loop re-assigns the kept result either way)
+            self.state, self.carry = backup
             if not self._bump_capacity("cols" if ov_c > 0 else "k",
                                        occ=occ):
                 break  # capacity exhausted; keep the (dropping) result
-            self.state, self.carry = backup
             backup = self._backup()
             state, carry, metrics, (ov_k, ov_c, occ), ms = \
                 self._run_step_once(dt, fetch_ms)
@@ -374,10 +408,13 @@ class Simulation:
             ms_total = (time.perf_counter() - t0) * 1e3
             if not (self.auto_capacity and (ov_k > 0 or ov_c > 0)):
                 break
+            # restore FIRST: the failed call donated the old state buffers
+            # and the rebuild may inspect self.state (the commit below the
+            # loop re-assigns the kept result either way)
+            self.state, self.carry = backup
             if not self._bump_capacity("cols" if ov_c > 0 else "k",
                                        occ=occ):
                 break
-            self.state, self.carry = backup
             backup = self._backup()
         self.state, self.carry, self.metrics = st, ca, m
         self.frame += n_steps

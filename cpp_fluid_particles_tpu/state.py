@@ -77,11 +77,19 @@ def block_positions(origin, n_xyz, spacing) -> np.ndarray:
 def scaled_dam_scene(n_target: int, cfg_overrides=None):
     """A scaled dam-break: a cube block of ~n_target particles filling
     about half the domain width (the 1M-particle benchmark scene,
-    BASELINE.md). Returns (cfg, fluid_positions)."""
+    BASELINE.md). Returns (cfg, fluid_positions).
+
+    The block spacing is exactly cell_length/2 (0.0202 vs the reference
+    scene's 0.02): at large domain sizes a 0.02 lattice aliases against
+    the 0.0404 grid into 3-plane bands per axis — isolated cells holding
+    27 particles — which would force the static per-cell capacity (and
+    its K^2 pair cost / memory) to triple for a handful of cells. The
+    exact half-cell tiling keeps initial occupancy at 8 everywhere."""
     from .config import dam_break_config
 
     side = int(round(n_target ** (1.0 / 3.0)))
-    spacing = 0.02
+    cfg0 = dam_break_config()
+    spacing = cfg0.cell_length / 2.0
     extent = side * spacing
     space = float(np.ceil(extent * 2.0 * 100) / 100)
     cfg = dam_break_config(space_size=(space, space, space),

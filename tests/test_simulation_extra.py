@@ -40,15 +40,18 @@ def test_auto_capacity_no_drop():
     max_per_cell) must re-run at a higher K — the no-drop guarantee the
     reference gets from dynamic cellStart ranges (src/SPHSystem.cu:114-127).
     The retried frame must equal a from-scratch run at the higher K."""
-    cfg = CFG.replace(max_per_cell=4)
     pos = small_block()
-    sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+    sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=pos,
                          warmup=False)
+    # force an undersized K to exercise the overflow-retry path (the
+    # constructor normally fits K to the initial occupancy)
+    sim.max_per_cell = 4
+    sim._build_step()
     sim.step()
     assert sim.max_per_cell > 4
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
     sim2 = cfp.Simulation(
-        solver="wcsph", cfg=cfg.replace(max_per_cell=sim.max_per_cell),
+        solver="wcsph", cfg=CFG.replace(max_per_cell=sim.max_per_cell),
         fluid_pos=pos, warmup=False, auto_capacity=False)
     sim2.step()
     np.testing.assert_array_equal(np.asarray(sim.state.pos),
@@ -58,12 +61,30 @@ def test_auto_capacity_no_drop():
 def test_auto_capacity_in_run_scan():
     """Overflow anywhere inside a scanned chunk (not just its last frame)
     triggers the capacity retry."""
-    cfg = CFG.replace(max_per_cell=4)
     pos = small_block()
-    sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+    sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=pos,
                          warmup=False)
+    sim.max_per_cell = 4
+    sim._build_step()
     sim.run_scan(4)
     assert sim.max_per_cell > 4
+    assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+
+def test_auto_capacity_column_bound():
+    """The xlac engine's occupied-column bound (NCO) escalates like K:
+    force it below the scene's occupancy and the next step must detect
+    column_overflow, re-run, and end clean."""
+    pos = small_block()
+    sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=pos,
+                         warmup=False)
+    assert sim.engine == "dense" and sim.max_columns is not None
+    sim.max_columns = 8  # small_block occupies 16 (x,y) columns
+    sim._build_step()
+    sim.step()
+    assert sim.max_columns > 8
+    assert int(np.asarray(sim.metrics["column_overflow"])) == 0
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
     assert np.isfinite(np.asarray(sim.state.pos)).all()
 
