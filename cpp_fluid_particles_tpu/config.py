@@ -64,15 +64,16 @@ class SimConfig:
     max_per_cell: int = 16                 # max fluid particles per cell
 
     # --- execution engine ---
-    # "dense"     : ghosted dense cell grid, symmetric half-stencil XLA
-    #               passes (each fluid pair block evaluated once, reduced
-    #               along both axes; fastest on the axon-tunneled TPU
-    #               runtime; zero gathers)
-    # "xlac"      : occupied-column compacted grid (ops/compact.py) —
-    #               pair work scales with fluid-occupied columns instead
-    #               of the whole domain; column bound auto-escalated
-    # "xla27"     : dense grid, plain 27-offset XLA loop (differential
-    #               oracle for the symmetric executor)
+    # "dense"     : resolves to "xlab"
+    # "xlab"      : sliding-box lane-major grid (ops/box.py) — the flat
+    #               symmetric half-stencil passes run over the fluid's
+    #               cell-space bounding box (static size auto-fitted,
+    #               dynamic position); zero gathers; fastest measured
+    # "xla"       : full-domain lane-major flat grid, symmetric
+    #               half-stencil XLA passes (each fluid pair block
+    #               evaluated once, reduced along both axes)
+    # "xla27"     : full-domain grid, plain 27-offset XLA loop
+    #               (differential oracle for the symmetric executor)
     # "pallas"    : dense grid + Pallas column kernels (candidates resident
     #               in VMEM — the design for direct TPU runtimes)
     # "interpret" : pallas in interpreter mode (CPU correctness testing)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
-from ..ops import compact as cp
+from ..ops import box as bx
 from ..ops import pallas_passes as pp
 from ..ops.dense import (
     DenseDims,
@@ -30,6 +30,7 @@ from ..ops.dense import (
     build_dense_index,
     dims_for,
     fill_dense,
+    flat_to_ghost5,
     read_dense,
 )
 from ..ops.grid import POS_PAD
@@ -42,49 +43,63 @@ F32 = jnp.float32
 POS_GUARD = POS_PAD / 2.0
 
 
-def _bd(scene_d, engine):
-    """Boundary operand for the executor: ghosted dense for the XLA
-    executors, prebuilt candidate tensor for the Pallas executors."""
-    if engine in ("xla", "xla27", "xlac"):
-        return scene_d.bd
-    return scene_d.bd_jcols
+class Layout(NamedTuple):
+    """Engine-dispatched grid layout for one step."""
+
+    idx: Any                 # DenseIndex | BoxIndex
+    colc: Any                # occupancy table for the Pallas executors
+    fill: Any                # (fields, fills) -> stacked grid tensor
+    read: Any                # grid tensor -> (F, N)
+    dims: DenseDims          # effective fluid grid dims for passes
+    dims_b: DenseDims        # effective boundary dims for passes
+    bd: Any                  # boundary operand for passes (or None)
 
 
-def _layout(pos, cfg, dims, engine, nco):
-    """Engine-dispatched grid layout: (index, pass ctx, fill, read).
-
-    'xlac' uses the occupied-column compacted layout (ops/compact.py,
-    NCO = static column bound); the other engines use the full ghosted
-    dense grid (ops/dense.py)."""
-    if engine == "xlac":
-        assert nco > 0, "engine='xlac' requires the nco column bound"
-        idx = cp.build_compact_index(pos, cfg, dims, nco)
-        return (idx, (idx, nco),
-                lambda fields, fills: cp.fill_compact(idx, fields, fills,
-                                                      dims, nco),
-                lambda arr: cp.read_compact(idx, arr))
+def _layout(pos, cfg, dims, dims_b, scene_d, engine, box) -> Layout:
+    """'xlab' runs the flat lane-major executors over a sliding fluid
+    bounding box (ops/box.py, box = static (BX, BY, BZ) size); the other
+    engines use the full ghosted dense grid (ops/dense.py)."""
+    if engine == "xlab":
+        assert box is not None, "engine='xlab' requires the box size"
+        bdims = DenseDims(box[0], box[1], box[2], dims.k)
+        bdims_b = DenseDims(box[0], box[1], box[2], dims_b.k)
+        idx = bx.build_box_index(pos, cfg, dims, bdims)
+        bdx = bx.slice_boundary_box(scene_d.bd, dims, bdims, dims_b.k,
+                                    idx.origin)
+        return Layout(
+            idx=idx, colc=None,
+            fill=lambda fields, fills: bx.fill_box(idx, fields, fills,
+                                                   bdims),
+            read=lambda arr: bx.read_box(idx, arr),
+            dims=bdims, dims_b=bdims_b, bd=bdx)
     idx = build_dense_index(pos, cfg, dims)
-    return (idx, idx.col_count,
-            lambda fields, fills: fill_dense(idx, fields, fills, dims),
-            lambda arr: read_dense(idx, arr))
+    bd = scene_d.bd if engine in ("xla", "xla27") else scene_d.bd_jcols
+    return Layout(
+        idx=idx, colc=idx.col_count,
+        fill=lambda fields, fills: fill_dense(idx, fields, fills, dims),
+        read=lambda arr: read_dense(idx, arr),
+        dims=dims, dims_b=dims_b, bd=bd)
 
 
 def _base_metrics(idx):
-    if isinstance(idx, cp.CompactIndex):
+    if isinstance(idx, bx.BoxIndex):
         m = {"grid_overflow": idx.overflow,
-             "column_overflow": idx.col_overflow,
-             "active_cells": idx.n_cols,
+             "box_overflow": idx.box_overflow,
+             "box_ext": idx.ext,
+             "active_cells": jnp.prod(idx.ext),
              "max_occupancy": idx.max_occupancy}
     else:
         m = {"grid_overflow": idx.overflow,
-             "column_overflow": jnp.int32(0),
+             "box_overflow": jnp.int32(0),
+             "box_ext": jnp.zeros((3,), jnp.int32),
              "active_cells": jnp.sum(idx.col_count > 0),
              "max_occupancy": idx.max_occupancy}
     # packed copy of the auto-capacity scalars: ONE host fetch syncs the
-    # step and reads all three (each separate fetch is a full relay round
-    # trip, ~45 ms on the tunneled runtime)
-    m["capacity"] = jnp.stack([m["grid_overflow"], m["column_overflow"],
-                               m["max_occupancy"]])
+    # step and reads all of them (each separate fetch is a full relay
+    # round trip, ~45 ms on the tunneled runtime)
+    m["capacity"] = jnp.concatenate([
+        jnp.stack([m["grid_overflow"], m["box_overflow"],
+                   m["max_occupancy"]]), m["box_ext"]])
     return m
 
 
@@ -111,19 +126,20 @@ def build_dense_scene(cfg: SimConfig, b_pos: np.ndarray, kb: int,
     # the "boundary" j-source contributes nothing here (zero masses): the
     # W-sum runs boundary-vs-boundary through the fluid slot
     zero_bd = fl.at[3].set(0.0)
-    if engine in ("xla", "xla27", "xlac"):
+    if engine in ("xla", "xla27", "xlab"):
         # one-time setup: the plain dense executor serves all XLA engines
-        # (xlac consumes the same ghosted bd tensor per step)
+        # (xlab dynamic-slices the same flat bd tensor per step)
         engine = "xla"
     else:
-        zero_bd = pp.build_j(zero_bd, dims_b)
+        zero_bd = pp.build_j(flat_to_ghost5(zero_bd, dims_b), dims_b)
     wsum = pp.density_pass(fl, zero_bd, idx.col_count, dims_b,
                            dims_b, cfg, engine)
     b_mass = cfg.rho_boundary / jnp.maximum(cfg.epsilon,
                                             read_dense(idx, wsum[None])[0])
     bd = fill_dense(idx, [b_pos[:, 0], b_pos[:, 1], b_pos[:, 2], b_mass],
                     [POS_PAD, POS_PAD, POS_PAD, 0.0], dims_b)
-    jcols = None if engine == "xla" else pp.build_j(bd, dims_b)
+    jcols = None if engine == "xla" else pp.build_j(
+        flat_to_ghost5(bd, dims_b), dims_b)
     return DenseScene(bd=bd, bd_jcols=jcols)
 
 
@@ -215,11 +231,13 @@ def _merge_back(idx: DenseIndex, gathered: jnp.ndarray, fb_pos, fb_vel):
 
 def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-               engine: str = "xla", nco: int = 0):
+               engine: str = "xla", box=None):
     # under spatial_sharding, particle-indexed (N,) state is sharded over
     # the mesh (not replicated) — memory and scatter/gather scale 1/devices
     state, carry = shard_particles((state, carry))
-    idx, colc, fill, read = _layout(state.pos, cfg, dims, engine, nco)
+    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
+    idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
+    dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
     base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]],
@@ -239,7 +257,7 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
     vel_d = _grav(vel_d, cfg, dt)
     pmv = jnp.concatenate([pos_d, mass_d, vel_d], 0)
     if surface_on:
-        o = pp.density_colorgrad_visc_pass(pmv, _bd(scene_d, engine), colc,
+        o = pp.density_colorgrad_visc_pass(pmv, bdx, colc,
                                            dims, dims_b, cfg, engine)
         rho = o[0]
         cg = o[1:4] / jnp.maximum(cfg.epsilon, o[4])[None]
@@ -247,18 +265,18 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
         p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
         sp = pp.surface_pressure_pass(
             jnp.concatenate([pos_d, mass_d, rho[None], p[None], cg], 0),
-            _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+            bdx, colc, dims, dims_b, cfg, engine)
         vel_d = vel_d + sp[0:3] * dt
         vel_d = vel_d + _accel_clamp(sp[3:6], cfg) * dt
     else:
-        o = pp.density_visc_pass(pmv, _bd(scene_d, engine), colc, dims,
+        o = pp.density_visc_pass(pmv, bdx, colc, dims,
                                  dims_b, cfg, engine)
         rho = o[0]
         vel_d = vel_d + o[1:4] * (cfg.visc * dt)
         p = jnp.maximum(cfg.stiff * ((rho / cfg.rho0) ** 7 - 1.0), 0.0)
         a = pp.pressure_force_pass(
             jnp.concatenate([pos_d, mass_d, rho[None], p[None]], 0),
-            _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+            bdx, colc, dims, dims_b, cfg, engine)
         vel_d = vel_d + _accel_clamp(a, cfg) * dt
 
     pos_d = pos_d + dt * vel_d
@@ -278,9 +296,11 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
 
 def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-               engine: str = "xla", nco: int = 0):
+               engine: str = "xla", box=None):
     state, carry = shard_particles((state, carry))
-    idx, colc, fill, read = _layout(state.pos, cfg, dims, engine, nco)
+    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
+    idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
+    dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
     base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
@@ -295,10 +315,10 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     if surface_on:
         # fused traversal: rho/alpha + color-field sums share [pos, mass]
         da = pp.density_alpha_colorgrad_pass(
-            pm, _bd(scene_d, engine), colc, dims, dims_b, cfg, engine)
+            pm, bdx, colc, dims, dims_b, cfg, engine)
         cg = da[5:8] / jnp.maximum(cfg.epsilon, da[8])[None]
     else:
-        da = pp.density_alpha_pass(pm, _bd(scene_d, engine), colc, dims,
+        da = pp.density_alpha_pass(pm, bdx, colc, dims,
                                    dims_b, cfg, engine)
         cg = None
     rho = da[0]
@@ -308,15 +328,15 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     n = state.n
     f32max = jnp.float32(jnp.finfo(jnp.float32).max)
 
-    # the (pm, dynamic) group split lets the xlac executor hoist the
-    # position/mass neighborhood gather out of the Jacobi while_loops
+    # the (pm, dynamic) group split documents which rows are loop-
+    # invariant inside the Jacobi while_loops (XLA hoists their slices)
     def div_pass(v_d):
-        return pp.divergence_pass((pm, v_d), _bd(scene_d, engine),
+        return pp.divergence_pass((pm, v_d), bdx,
                                   colc, dims, dims_b, cfg, engine)
 
     def sa_pass(s_d):
         return pp.stiffness_accel_pass(
-            (pm, s_d[None]), _bd(scene_d, engine), colc, dims,
+            (pm, s_d[None]), bdx, colc, dims,
             dims_b, cfg, engine)
 
     # --- divergence solve (src/DFSPHSolver.cu:331-363) ---
@@ -411,9 +431,11 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
 
 def pbd_step(state: FluidState, carry, scene_d: DenseScene,
              cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-             engine: str = "xla", nco: int = 0):
+             engine: str = "xla", box=None):
     state, carry = shard_particles((state, carry))
-    idx, colc, fill, read = _layout(state.pos, cfg, dims, engine, nco)
+    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
+    idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
+    dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
     base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          carry.pos_last[:, 0], carry.pos_last[:, 1], carry.pos_last[:, 2]],
@@ -434,7 +456,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     def project_body(c):
         it, p_d, _, _ = c
         lam5 = pp.pbd_lambda_pass((p_d, mass_d),
-                                  _bd(scene_d, engine), colc, dims, dims_b,
+                                  bdx, colc, dims, dims_b,
                                   cfg, engine)
         rho = lam5[0]
         lam = jnp.where(
@@ -446,7 +468,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
         ) * cfg.pbd_relaxation
         alive = jnp.any(lam != 0.0)
         dp = pp.stiffness_accel_pass(
-            (p_d, mass_d, lam[None]), _bd(scene_d, engine), colc,
+            (p_d, mass_d, lam[None]), bdx, colc,
             dims, dims_b, cfg, engine) / cfg.rho0
         p_d = _clamp_pos_only(p_d + dp, cfg)
         return it + 1, p_d, rho, alive
@@ -463,7 +485,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     # projected positions ---
     if cfg.surface_tension > cfg.epsilon or cfg.air_pressure > cfg.epsilon:
         o = pp.xsph_colorgrad_pass(
-            jnp.concatenate([pos_d, mass_d, vel_d], 0), _bd(scene_d, engine),
+            jnp.concatenate([pos_d, mass_d, vel_d], 0), bdx,
             colc, dims, dims_b, cfg, engine)
         vel_d = vel_d + o[0:3] * (cfg.pbd_xsph_c / cfg.rho0)
         cg = o[3:6] / jnp.maximum(cfg.epsilon, o[6])[None]

@@ -163,11 +163,86 @@ def column_pass(
 
 
 # ----------------------------------------------------------------------
-# geometry helper used by all bodies
+# pair-axis conventions + geometry helper used by all bodies
+#
+# The physics bodies are written once against four primitives:
+#   _ii(v) broadcast an i-side field into the pair block
+#   _jb(v) broadcast a j-side field into the pair block
+#   _si(x) reduce the pair block to i-particle shape
+#   _sj(x) reduce the pair block to j-particle shape (Newton's-3rd mirror)
+#   _zi(r) i-shaped zeros given the pair-distance block
+# Two conventions instantiate them:
+#   SLOT  — pair block (..., K_i, K_j); the Pallas column kernels' layout
+#           (their candidate blocks are (CZ, K) / (CZ, 27K)).
+#   LANE  — pair block (..., K_i, K_j, C) with the flattened cell axis C
+#           MINOR; the XLA executors' layout (fully lane-utilized tiles).
+# Executors select their convention with the `_axes` context manager; the
+# switch happens at TRACE time (bodies are ordinary Python closures).
 # ----------------------------------------------------------------------
 
+import contextlib
+
+
+class _Conv(NamedTuple):
+    ii: Callable
+    jb: Callable
+    si: Callable
+    sj: Callable
+    zi: Callable
+
+
+_SLOT = _Conv(
+    ii=lambda v: v[..., :, None],
+    jb=lambda v: v[..., None, :],
+    si=lambda x: jnp.sum(x, -1),
+    sj=lambda x: jnp.sum(x, -2),
+    zi=lambda r: jnp.zeros(r.shape[:-1], F32),
+)
+_LANE = _Conv(
+    ii=lambda v: v[..., :, None, :],
+    jb=lambda v: v[..., None, :, :],
+    si=lambda x: jnp.sum(x, -2),
+    sj=lambda x: jnp.sum(x, -3),
+    zi=lambda r: jnp.zeros(r.shape[:-3] + r.shape[-3:-2] + r.shape[-1:],
+                           F32),
+)
+
+_AX = _SLOT
+
+
+@contextlib.contextmanager
+def _axes(conv: _Conv):
+    global _AX
+    prev = _AX
+    _AX = conv
+    try:
+        yield
+    finally:
+        _AX = prev
+
+
+def _ii(v):
+    return _AX.ii(v)
+
+
+def _jb(v):
+    return _AX.jb(v)
+
+
+def _si(x):
+    return _AX.si(x)
+
+
+def _sj(x):
+    return _AX.sj(x)
+
+
+def _zi(r):
+    return _AX.zi(r)
+
+
 class Pair(NamedTuple):
-    dx: jnp.ndarray   # (..., K, Kj) i - j separations per component
+    dx: jnp.ndarray   # pair-block i - j separations per component
     dy: jnp.ndarray
     dz: jnp.ndarray
     r: jnp.ndarray
@@ -175,128 +250,122 @@ class Pair(NamedTuple):
 
 def _geom(i, j) -> Pair:
     """i, j: stacked field tensors whose first three rows are position
-    components. Returns pair separations/distance (..., K, Kj)."""
-    dx = i[0][:, :, None] - j[0][:, None, :]
-    dy = i[1][:, :, None] - j[1][:, None, :]
-    dz = i[2][:, :, None] - j[2][:, None, :]
+    components. Returns pair separations/distance as pair blocks."""
+    dx = _ii(i[0]) - _jb(j[0])
+    dy = _ii(i[1]) - _jb(j[1])
+    dz = _ii(i[2]) - _jb(j[2])
     r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     return Pair(dx, dy, dz, r)
-
-
-def _jb(v):
-    return v[:, None, :]
-
-
-def _ii(v):
-    return v[:, :, None]
 
 
 # ----------------------------------------------------------------------
 # executors over term functions
 # ----------------------------------------------------------------------
 
+def _flat_offsets(dims: DenseDims) -> np.ndarray:
+    """Flat ghosted-axis displacement of each stencil offset o (o=13 -> 0,
+    offset 26-o is the negation)."""
+    return ((_OFFS[:, 0] - 1) * dims.gy * dims.gz
+            + (_OFFS[:, 1] - 1) * dims.gz + (_OFFS[:, 2] - 1)).astype(
+        np.int32)
+
+
 def column_pass_xla(
     body: Callable,
-    fl: jnp.ndarray,                  # (Fi, GX, GY, GZ, K) ghosted
+    fl: jnp.ndarray,                  # (Fi, K, G) lane-major flat ghosted
     dims: DenseDims,
     n_out: int,
-    bd: Optional[jnp.ndarray] = None,  # (Fb, GX, GY, GZ, Kb) ghosted
+    bd: Optional[jnp.ndarray] = None,  # (Fb, Kb, G) lane-major flat
     dims_b: Optional[DenseDims] = None,
 ) -> jnp.ndarray:
-    """Plain 27-offset XLA executor: loop over the stencil offsets, each a
-    dynamic slice of the ghosted dense grid (zero gathers), with the pair
-    math fusing into a single producer->reduce loop per offset. Kept as the
-    differential-testing oracle for ``column_pass_xla_sym``.
-
-    The bodies are shape-generic: here i/j leaves are (C, K)/(C, Kj) with
-    C = CX*CY*CZ flattened cells instead of per-column (CZ, K).
-    """
-    fi = fl.shape[0]
-    c = dims.cx * dims.cy * dims.cz
-    i_flat = fl[:, 1:-1, 1:-1, 1:-1, :].reshape(fi, c, dims.k)
+    """Plain 27-offset lane-major XLA executor: the ghost ring makes every
+    stencil offset ONE contiguous slice of the flat cell axis (zero
+    gathers), and the pair blocks are (K_i, K_j, W) with the cell axis
+    minor — fully lane-utilized tiles. The i window trims the leading and
+    trailing P ghost cells (the interior ghost cells compute junk that the
+    particle gather never reads: their slots hold POS_PAD / zero mass, so
+    every contribution they receive or emit is exactly zero). Kept as the
+    differential-testing oracle for ``column_pass_xla_sym``."""
+    fi, k = fl.shape[0], fl.shape[1]
+    p = dims.flat_p
+    g = dims.g
+    w = g - 2 * p
+    i_flat = jax.lax.slice_in_dim(fl, p, p + w, axis=2)
     has_b = bd is not None
 
-    offs = jnp.asarray(_OFFS)
+    offs = jnp.asarray(_flat_offsets(dims) + p)   # slice starts in [0, 2P]
 
-    def offset_slice(dense, o, k):
-        f = dense.shape[0]
-        sl = jax.lax.dynamic_slice(
-            dense, (0, offs[o, 0], offs[o, 1], offs[o, 2], 0),
-            (f, dims.cx, dims.cy, dims.cz, k))
-        return sl.reshape(f, c, k)
+    def offset_slice(dense, o, kk):
+        return jax.lax.dynamic_slice(
+            dense, (0, 0, offs[o]), (dense.shape[0], kk, w))
 
     def fold(o, acc):
-        j_o = offset_slice(fl, o, dims.k)
+        j_o = offset_slice(fl, o, k)
         jb_o = offset_slice(bd, o, dims_b.k) if has_b else None
         return acc + body(i_flat, j_o, jb_o)
 
-    acc = jax.lax.fori_loop(
-        0, 27, fold, jnp.zeros((n_out, c, dims.k), F32))
-    core = acc.reshape(n_out, dims.cx, dims.cy, dims.cz, dims.k)
+    with _axes(_LANE):
+        acc = jax.lax.fori_loop(
+            0, 27, fold, jnp.zeros((n_out, k, w), F32))
     return constrain_axis(
-        jnp.pad(core, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), 1)
+        jnp.pad(acc, ((0, 0), (0, 0), (p, p))), 2)
 
 
 def column_pass_xla_sym(
     fluid_terms: Callable,
     bd_terms: Optional[Callable],
-    fl: jnp.ndarray,                  # (Fi, GX, GY, GZ, K) ghosted
+    fl: jnp.ndarray,                  # (Fi, K, G) lane-major flat ghosted
     dims: DenseDims,
     n_out: int,
-    bd: Optional[jnp.ndarray] = None,  # (Fb, GX, GY, GZ, Kb) ghosted
+    bd: Optional[jnp.ndarray] = None,  # (Fb, Kb, G) lane-major flat
     dims_b: Optional[DenseDims] = None,
 ) -> jnp.ndarray:
-    """Symmetric half-stencil XLA executor.
+    """Symmetric half-stencil lane-major XLA executor.
 
     For each of the 13 half offsets d, the fluid pair block (i in cell c,
     j in cell c+d) is evaluated once; the j-axis reduction lands on the
     i cells directly, and the i-axis reduction (the Newton's-third-law
-    mirror) is shifted by +d via one pad + dynamic-slice and accumulated —
-    covering the reverse offset 26-o without re-evaluating the block. The
-    self offset (o=13) uses the i-reduction only: its full block already
-    contains both orderings of each within-cell pair. Boundary blocks are
-    one-sided and keep all 27 offsets (o and 26-o folded per iteration).
-    """
-    fi = fl.shape[0]
-    cx, cy, cz, k = dims.cx, dims.cy, dims.cz, dims.k
-    c = cx * cy * cz
-    i_flat = fl[:, 1:-1, 1:-1, 1:-1, :].reshape(fi, c, k)
+    mirror) is shifted by +d via one pad + dynamic-slice on the flat cell
+    axis and accumulated — covering the reverse offset 26-o without
+    re-evaluating the block. The self offset (o=13) uses the i-reduction
+    only: its full block already contains both orderings of each
+    within-cell pair. Boundary blocks are one-sided and keep all 27
+    offsets (o and 26-o folded per iteration)."""
+    fi, k = fl.shape[0], fl.shape[1]
+    p = dims.flat_p
+    g = dims.g
+    w = g - 2 * p
+    i_flat = jax.lax.slice_in_dim(fl, p, p + w, axis=2)
     has_b = bd is not None and bd_terms is not None
 
-    offs = jnp.asarray(_OFFS)
+    offd = jnp.asarray(_flat_offsets(dims))      # signed displacements
 
     def slc(dense, o, kk):
-        f = dense.shape[0]
-        sl = jax.lax.dynamic_slice(
-            dense, (0, offs[o, 0], offs[o, 1], offs[o, 2], 0),
-            (f, cx, cy, cz, kk))
-        return sl.reshape(f, c, kk)
+        return jax.lax.dynamic_slice(
+            dense, (0, 0, offd[o] + p), (dense.shape[0], kk, w))
 
-    # self offset: i-reduction over the full within-cell block
-    acc = fluid_terms(i_flat, i_flat, False)[0]
-    if has_b:
-        acc = acc + bd_terms(i_flat, slc(bd, 13, dims_b.k))
-    acc5 = acc.reshape(n_out, cx, cy, cz, k)
-
-    def fold(o, a5):
-        out_i, out_j = fluid_terms(i_flat, slc(fl, o, k), True)
-        a5 = a5 + out_i.reshape(n_out, cx, cy, cz, k)
-        # j-side partials: value at i-cell c belongs to j-cell c+d; shift
-        # by +d = slice the ghost-padded array at start 2-offs[o]
-        ojg = jnp.pad(out_j.reshape(n_out, cx, cy, cz, k),
-                      ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-        a5 = a5 + jax.lax.dynamic_slice(
-            ojg, (0, 2 - offs[o, 0], 2 - offs[o, 1], 2 - offs[o, 2], 0),
-            a5.shape)
+    with _axes(_LANE):
+        # self offset: i-reduction over the full within-cell block
+        acc = fluid_terms(i_flat, i_flat, False)[0]
         if has_b:
-            a5 = a5 + (bd_terms(i_flat, slc(bd, o, dims_b.k))
-                       + bd_terms(i_flat, slc(bd, 26 - o, dims_b.k))
-                       ).reshape(n_out, cx, cy, cz, k)
-        return a5
+            acc = acc + bd_terms(i_flat, slc(bd, 13, dims_b.k))
 
-    acc5 = jax.lax.fori_loop(0, 13, fold, acc5)
+        def fold(o, acc):
+            out_i, out_j = fluid_terms(i_flat, slc(fl, o, k), True)
+            acc = acc + out_i
+            # j-side partials: the value computed at i-cell c belongs to
+            # j-cell c+d -> shift by +d = slice the P-padded array at P-d
+            ojp = jnp.pad(out_j, ((0, 0), (0, 0), (p, p)))
+            acc = acc + jax.lax.dynamic_slice(
+                ojp, (0, 0, p - offd[o]), acc.shape)
+            if has_b:
+                acc = acc + (bd_terms(i_flat, slc(bd, o, dims_b.k))
+                             + bd_terms(i_flat, slc(bd, 26 - o, dims_b.k)))
+            return acc
+
+        acc = jax.lax.fori_loop(0, 13, fold, acc)
     return constrain_axis(
-        jnp.pad(acc5, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), 1)
+        jnp.pad(acc, ((0, 0), (0, 0), (p, p))), 2)
 
 
 def _std_body(fluid_terms, bd_terms):
@@ -318,33 +387,35 @@ def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
     'pallas' (column kernels, candidates in VMEM), or 'interpret' (Pallas
     interpreter, for CPU tests).
 
-    fl: ghosted fluid dense (F, GX, GY, GZ, K) — or, for 'xlac', the
-    compact (F, NCO+1, GZ, K) tensor with col_count = (CompactIndex, NCO).
-    bd: for the XLA executors the ghosted boundary dense
-    (Fb, GX, GY, GZ, Kb); for 'pallas' / 'interpret' the PREBUILT
-    candidate tensor (NC, Fb, CZ, 27Kb) from build_j. Returns a ghosted
-    (n_out, GX, GY, GZ, K) result ('xlac': compact (n_out, NCO+1, GZ, K))."""
-    if engine == "xlac":
-        from .compact import compact_pass
-        idxc, nco = col_count
-        return compact_pass(fluid_terms, bd_terms, fl, idxc, dims, nco,
-                            n_out, bd, dims_b)
+    fl: lane-major flat fluid dense (F, K, G) — for 'xlab' the same layout
+    over the sliding fluid box, with dims = the box dims and bd the
+    box-sliced boundary window (the executors are layout-agnostic: the box
+    is just a smaller ghosted grid). bd: for the XLA executors the
+    lane-major flat boundary dense (Fb, Kb, G); for 'pallas' / 'interpret'
+    the PREBUILT candidate tensor (NC, Fb, CZ, 27Kb) from build_j.
+    Returns a lane-major flat (n_out, K, G) result."""
     if isinstance(fl, tuple):
-        # group splitting only pays on the compacted layout (gather
-        # hoisting); the dense executors take one stacked tensor
         fl = jnp.concatenate(fl, 0)
+    if engine == "xlab":
+        engine = "xla"          # the sym executor runs the box grid as-is
     if engine == "xla":
         return column_pass_xla_sym(fluid_terms, bd_terms, fl, dims, n_out,
                                    bd, dims_b)
     if engine == "xla27":
         return column_pass_xla(_std_body(fluid_terms, bd_terms), fl, dims,
                                n_out, bd, dims_b)
-    i_cols = build_i(fl, dims)
-    j_cols = build_j(fl, dims)
-    out = column_pass(_std_body(fluid_terms, bd_terms), i_cols, j_cols,
-                      col_count, dims, n_out, bd, dims_b,
-                      interpret=(engine == "interpret"))
-    return cols_to_ghosted(out, dims)
+    # Pallas path: candidate tensors use the 5-D ghosted view and the SLOT
+    # pair convention (blocks (CZ, K) x (CZ, 27K) per column)
+    from .dense import flat_to_ghost5
+    fl5 = flat_to_ghost5(fl, dims)
+    i_cols = build_i(fl5, dims)
+    j_cols = build_j(fl5, dims)
+    with _axes(_SLOT):
+        out = column_pass(_std_body(fluid_terms, bd_terms), i_cols, j_cols,
+                          col_count, dims, n_out, bd, dims_b,
+                          interpret=(engine == "interpret"))
+    ghosted = cols_to_ghosted(out, dims)        # (n_out, GX, GY, GZ, K)
+    return ghosted.transpose(0, 4, 1, 2, 3).reshape(n_out, dims.k, dims.g)
 
 
 # ----------------------------------------------------------------------
@@ -365,13 +436,13 @@ def density_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
     def fluid(i, j, want_j):
         g = _geom(i, j)
         w = kn.w_cubic(g.r, h)
-        out_i = jnp.sum(_jb(j[3]) * w, -1)[None]
-        out_j = jnp.sum(_ii(i[3]) * w, -2)[None] if want_j else None
+        out_i = _si(_jb(j[3]) * w)[None]
+        out_j = _sj(_ii(i[3]) * w)[None] if want_j else None
         return out_i, out_j
 
     def bdry(i, jb):
         gb = _geom(i, jb)
-        return jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)[None]
+        return _si(_jb(jb[3]) * kn.w_cubic(gb.r, h))[None]
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 1, engine)[0]
 
@@ -391,13 +462,13 @@ def pressure_force_pass(fl, bd, col_count, dims, dims_b, cfg,
         s = (over_i + over_j) * cw
         sx, sy, sz = s * g.dx, s * g.dy, s * g.dz
         mj = _jb(j[3])
-        out_i = jnp.stack([-jnp.sum(mj * sx, -1), -jnp.sum(mj * sy, -1),
-                           -jnp.sum(mj * sz, -1)])
+        out_i = jnp.stack([-_si(mj * sx), -_si(mj * sy),
+                           -_si(mj * sz)])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        out_j = jnp.stack([jnp.sum(mi * sx, -2), jnp.sum(mi * sy, -2),
-                           jnp.sum(mi * sz, -2)])
+        out_j = jnp.stack([_sj(mi * sx), _sj(mi * sy),
+                           _sj(mi * sz)])
         return out_i, out_j
 
     def bdry(i, jb):
@@ -405,9 +476,9 @@ def pressure_force_pass(fl, bd, col_count, dims, dims_b, cfg,
         cwb = kn.grad_w_cubic_coef(gb.r, h)
         over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
         coefb = -_jb(jb[3]) * over_i * cwb
-        return jnp.stack([jnp.sum(coefb * gb.dx, -1),
-                          jnp.sum(coefb * gb.dy, -1),
-                          jnp.sum(coefb * gb.dz, -1)])
+        return jnp.stack([_si(coefb * gb.dx),
+                          _si(coefb * gb.dy),
+                          _si(coefb * gb.dz)])
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 3, engine)
 
@@ -424,13 +495,13 @@ def viscosity_pass(fl, col_count, dims, cfg, engine="xla"):
         ty = lap * (_jb(j[5]) - _ii(i[5]))
         tz = lap * (_jb(j[6]) - _ii(i[6]))
         mj = _jb(j[3])
-        out_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
-                           jnp.sum(mj * tz, -1)])
+        out_i = jnp.stack([_si(mj * tx), _si(mj * ty),
+                           _si(mj * tz)])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        out_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
-                           -jnp.sum(mi * tz, -2)])
+        out_j = jnp.stack([-_sj(mi * tx), -_sj(mi * ty),
+                           -_sj(mi * tz)])
         return out_i, out_j
 
     return _run(fluid, None, fl, None, col_count, dims, None, 3, engine)
@@ -448,13 +519,13 @@ def xsph_pass(fl, col_count, dims, cfg, engine="xla"):
         ty = w * (_jb(j[5]) - _ii(i[5]))
         tz = w * (_jb(j[6]) - _ii(i[6]))
         mj = _jb(j[3])
-        out_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
-                           jnp.sum(mj * tz, -1)])
+        out_i = jnp.stack([_si(mj * tx), _si(mj * ty),
+                           _si(mj * tz)])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        out_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
-                           -jnp.sum(mi * tz, -2)])
+        out_j = jnp.stack([-_sj(mi * tx), -_sj(mi * ty),
+                           -_sj(mi * tz)])
         return out_i, out_j
 
     return _run(fluid, None, fl, None, col_count, dims, None, 3, engine)
@@ -464,14 +535,14 @@ def _colorgrad_terms(i, j, g, w, cw, rho_ref, want_j):
     """Shared He-2014 color-field sums: [numx, numy, numz, den]."""
     volj = _jb(j[3]) / rho_ref
     cj = volj * cw
-    out_i = jnp.stack([jnp.sum(cj * g.dx, -1), jnp.sum(cj * g.dy, -1),
-                       jnp.sum(cj * g.dz, -1), jnp.sum(volj * w, -1)])
+    out_i = jnp.stack([_si(cj * g.dx), _si(cj * g.dy),
+                       _si(cj * g.dz), _si(volj * w)])
     if not want_j:
         return out_i, None
     voli = _ii(i[3]) / rho_ref
     ci = voli * cw
-    out_j = jnp.stack([-jnp.sum(ci * g.dx, -2), -jnp.sum(ci * g.dy, -2),
-                       -jnp.sum(ci * g.dz, -2), jnp.sum(voli * w, -2)])
+    out_j = jnp.stack([-_sj(ci * g.dx), -_sj(ci * g.dy),
+                       -_sj(ci * g.dz), _sj(voli * w)])
     return out_i, out_j
 
 
@@ -513,18 +584,18 @@ def surface_pass(fl, col_count, dims, cfg, engine="xla"):
               * (_ii(ci2) + _jb(cj2)) * kn.grad_w_surface_coef(g.r, h))
         si = st + (cfg.air_pressure / rho0sq) * gate_i * cw
         mj = _jb(j[3])
-        out_i = jnp.stack([jnp.sum(mj * si * g.dx, -1),
-                           jnp.sum(mj * si * g.dy, -1),
-                           jnp.sum(mj * si * g.dz, -1)])
+        out_i = jnp.stack([_si(mj * si * g.dx),
+                           _si(mj * si * g.dy),
+                           _si(mj * si * g.dz)])
         if not want_j:
             return out_i, None
         nj = jnp.sqrt(cj2)
         gate_j = _jb(nj / jnp.maximum(eps, nj))
         sj = st + (cfg.air_pressure / rho0sq) * gate_j * cw
         mi = _ii(i[3])
-        out_j = jnp.stack([-jnp.sum(mi * sj * g.dx, -2),
-                           -jnp.sum(mi * sj * g.dy, -2),
-                           -jnp.sum(mi * sj * g.dz, -2)])
+        out_j = jnp.stack([-_sj(mi * sj * g.dx),
+                           -_sj(mi * sj * g.dy),
+                           -_sj(mi * sj * g.dz)])
         return out_i, out_j
 
     return _run(fluid, None, fl, None, col_count, dims, None, 3, engine)
@@ -545,22 +616,22 @@ def density_alpha_pass(fl, bd, col_count, dims, dims_b, cfg,
         mj = _jb(j[3])
         mcj = mj * cw
         out_i = jnp.stack([
-            jnp.sum(mj * w, -1),
-            jnp.sum(mcj * g.dx, -1),
-            jnp.sum(mcj * g.dy, -1),
-            jnp.sum(mcj * g.dz, -1),
-            jnp.sum(mj * mj * r2c2, -1),
+            _si(mj * w),
+            _si(mcj * g.dx),
+            _si(mcj * g.dy),
+            _si(mcj * g.dz),
+            _si(mj * mj * r2c2),
         ])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
         mci = mi * cw
         out_j = jnp.stack([
-            jnp.sum(mi * w, -2),
-            -jnp.sum(mci * g.dx, -2),
-            -jnp.sum(mci * g.dy, -2),
-            -jnp.sum(mci * g.dz, -2),
-            jnp.sum(mi * mi * r2c2, -2),
+            _sj(mi * w),
+            -_sj(mci * g.dx),
+            -_sj(mci * g.dy),
+            -_sj(mci * g.dz),
+            _sj(mi * mi * r2c2),
         ])
         return out_i, out_j
 
@@ -568,12 +639,12 @@ def density_alpha_pass(fl, bd, col_count, dims, dims_b, cfg,
         gb = _geom(i, jb)
         mb = _jb(jb[3])
         mcb = mb * kn.grad_w_cubic_coef(gb.r, h)
-        zero = jnp.zeros(gb.r.shape[:-1], F32)
+        zero = _zi(gb.r)
         return jnp.stack([
-            jnp.sum(mb * kn.w_cubic(gb.r, h), -1),
-            jnp.sum(mcb * gb.dx, -1),
-            jnp.sum(mcb * gb.dy, -1),
-            jnp.sum(mcb * gb.dz, -1),
+            _si(mb * kn.w_cubic(gb.r, h)),
+            _si(mcb * gb.dx),
+            _si(mcb * gb.dy),
+            _si(mcb * gb.dz),
             zero,
         ])
 
@@ -593,15 +664,15 @@ def divergence_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
         t = cw * ((_ii(i[4]) - _jb(j[4])) * g.dx
                   + (_ii(i[5]) - _jb(j[5])) * g.dy
                   + (_ii(i[6]) - _jb(j[6])) * g.dz)
-        out_i = jnp.sum(_jb(j[3]) * t, -1)[None]
-        out_j = jnp.sum(_ii(i[3]) * t, -2)[None] if want_j else None
+        out_i = _si(_jb(j[3]) * t)[None]
+        out_j = _sj(_ii(i[3]) * t)[None] if want_j else None
         return out_i, out_j
 
     def bdry(i, jb):
         gb = _geom(i, jb)
         cwb = _jb(jb[3]) * kn.grad_w_cubic_coef(gb.r, h)
-        e = jnp.sum(cwb * (_ii(i[4]) * gb.dx + _ii(i[5]) * gb.dy
-                           + _ii(i[6]) * gb.dz), -1)
+        e = _si(cwb * (_ii(i[4]) * gb.dx + _ii(i[5]) * gb.dy
+                           + _ii(i[6]) * gb.dz))
         return e[None]
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 1, engine)[0]
@@ -620,21 +691,21 @@ def stiffness_accel_pass(fl, bd, col_count, dims, dims_b, cfg,
         s = (_ii(i[4]) + _jb(j[4])) * kn.grad_w_cubic_coef(g.r, h)
         sx, sy, sz = s * g.dx, s * g.dy, s * g.dz
         mj = _jb(j[3])
-        out_i = jnp.stack([jnp.sum(mj * sx, -1), jnp.sum(mj * sy, -1),
-                           jnp.sum(mj * sz, -1)])
+        out_i = jnp.stack([_si(mj * sx), _si(mj * sy),
+                           _si(mj * sz)])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        out_j = jnp.stack([-jnp.sum(mi * sx, -2), -jnp.sum(mi * sy, -2),
-                           -jnp.sum(mi * sz, -2)])
+        out_j = jnp.stack([-_sj(mi * sx), -_sj(mi * sy),
+                           -_sj(mi * sz)])
         return out_i, out_j
 
     def bdry(i, jb):
         gb = _geom(i, jb)
         coefb = _jb(jb[3]) * _ii(i[4]) * kn.grad_w_cubic_coef(gb.r, h)
-        return jnp.stack([jnp.sum(coefb * gb.dx, -1),
-                          jnp.sum(coefb * gb.dy, -1),
-                          jnp.sum(coefb * gb.dz, -1)])
+        return jnp.stack([_si(coefb * gb.dx),
+                          _si(coefb * gb.dy),
+                          _si(coefb * gb.dz)])
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 3, engine)
 
@@ -648,22 +719,22 @@ def _lambda_terms(i, jf, h, rho0, want_j):
     mj = _jb(jf[3])
     mcj = mj * cw
     out_i = jnp.stack([
-        jnp.sum(mj * w, -1),
-        jnp.sum(mcj * g.dx, -1),
-        jnp.sum(mcj * g.dy, -1),
-        jnp.sum(mcj * g.dz, -1),
-        jnp.sum(mj * mj * r2c2, -1),
+        _si(mj * w),
+        _si(mcj * g.dx),
+        _si(mcj * g.dy),
+        _si(mcj * g.dz),
+        _si(mj * mj * r2c2),
     ])
     if not want_j:
         return out_i, None
     mi = _ii(i[3])
     mci = mi * cw
     out_j = jnp.stack([
-        jnp.sum(mi * w, -2),
-        -jnp.sum(mci * g.dx, -2),
-        -jnp.sum(mci * g.dy, -2),
-        -jnp.sum(mci * g.dz, -2),
-        jnp.sum(mi * mi * r2c2, -2),
+        _sj(mi * w),
+        -_sj(mci * g.dx),
+        -_sj(mci * g.dy),
+        -_sj(mci * g.dz),
+        _sj(mi * mi * r2c2),
     ])
     return out_i, out_j
 
@@ -701,19 +772,19 @@ def density_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
         g = _geom(i, j)
         w = kn.w_cubic(g.r, h)
         cw = kn.grad_w_cubic_coef(g.r, h)
-        rho_i = jnp.sum(_jb(j[3]) * w, -1)[None]
+        rho_i = _si(_jb(j[3]) * w)[None]
         cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
         out_i = jnp.concatenate([rho_i, cg_i])
         if not want_j:
             return out_i, None
-        rho_j = jnp.sum(_ii(i[3]) * w, -2)[None]
+        rho_j = _sj(_ii(i[3]) * w)[None]
         return out_i, jnp.concatenate([rho_j, cg_j])
 
     def bdry(i, jb):
         gb = _geom(i, jb)
         w = kn.w_cubic(gb.r, h)
         cw = kn.grad_w_cubic_coef(gb.r, h)
-        rho_i = jnp.sum(_jb(jb[3]) * w, -1)[None]
+        rho_i = _si(_jb(jb[3]) * w)[None]
         cg_i = _colorgrad_terms(i, jb, gb, w, cw, cfg.rho_boundary,
                                 False)[0]
         return jnp.concatenate([rho_i, cg_i])
@@ -741,27 +812,27 @@ def density_colorgrad_visc_pass(fl, bd, col_count, dims, dims_b, cfg,
         ty = lap * (_jb(j[5]) - _ii(i[5]))
         tz = lap * (_jb(j[6]) - _ii(i[6]))
         mj = _jb(j[3])
-        rho_i = jnp.sum(mj * w, -1)[None]
+        rho_i = _si(mj * w)[None]
         cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
-        dv_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
-                          jnp.sum(mj * tz, -1)])
+        dv_i = jnp.stack([_si(mj * tx), _si(mj * ty),
+                          _si(mj * tz)])
         out_i = jnp.concatenate([rho_i, cg_i, dv_i])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        rho_j = jnp.sum(mi * w, -2)[None]
-        dv_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
-                          -jnp.sum(mi * tz, -2)])
+        rho_j = _sj(mi * w)[None]
+        dv_j = jnp.stack([-_sj(mi * tx), -_sj(mi * ty),
+                          -_sj(mi * tz)])
         return out_i, jnp.concatenate([rho_j, cg_j, dv_j])
 
     def bdry(i, jb):
         gb = _geom(i, jb)
         w = kn.w_cubic(gb.r, h)
         cw = kn.grad_w_cubic_coef(gb.r, h)
-        rho_i = jnp.sum(_jb(jb[3]) * w, -1)[None]
+        rho_i = _si(_jb(jb[3]) * w)[None]
         cg_i = _colorgrad_terms(i, jb, gb, w, cw, cfg.rho_boundary,
                                 False)[0]
-        zero3 = jnp.zeros((3,) + gb.r.shape[:-1], F32)
+        zero3 = jnp.stack([_zi(gb.r)] * 3)
         return jnp.concatenate([rho_i, cg_i, zero3])
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 8, engine)
@@ -781,18 +852,18 @@ def density_visc_pass(fl, bd, col_count, dims, dims_b, cfg, engine="xla"):
         ty = lap * (_jb(j[5]) - _ii(i[5]))
         tz = lap * (_jb(j[6]) - _ii(i[6]))
         mj = _jb(j[3])
-        out_i = jnp.stack([jnp.sum(mj * w, -1), jnp.sum(mj * tx, -1),
-                           jnp.sum(mj * ty, -1), jnp.sum(mj * tz, -1)])
+        out_i = jnp.stack([_si(mj * w), _si(mj * tx),
+                           _si(mj * ty), _si(mj * tz)])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        out_j = jnp.stack([jnp.sum(mi * w, -2), -jnp.sum(mi * tx, -2),
-                           -jnp.sum(mi * ty, -2), -jnp.sum(mi * tz, -2)])
+        out_j = jnp.stack([_sj(mi * w), -_sj(mi * tx),
+                           -_sj(mi * ty), -_sj(mi * tz)])
         return out_i, out_j
 
     def bdry(i, jb):
         gb = _geom(i, jb)
-        rho_i = jnp.sum(_jb(jb[3]) * kn.w_cubic(gb.r, h), -1)
+        rho_i = _si(_jb(jb[3]) * kn.w_cubic(gb.r, h))
         zero = jnp.zeros_like(rho_i)
         return jnp.stack([rho_i, zero, zero, zero])
 
@@ -827,10 +898,10 @@ def surface_pressure_pass(fl, bd, col_count, dims, dims_b, cfg,
         ps = (over_i + over_j) * cw
         mj = _jb(j[3])
         out_i = jnp.stack([
-            jnp.sum(mj * si * g.dx, -1), jnp.sum(mj * si * g.dy, -1),
-            jnp.sum(mj * si * g.dz, -1),
-            -jnp.sum(mj * ps * g.dx, -1), -jnp.sum(mj * ps * g.dy, -1),
-            -jnp.sum(mj * ps * g.dz, -1),
+            _si(mj * si * g.dx), _si(mj * si * g.dy),
+            _si(mj * si * g.dz),
+            -_si(mj * ps * g.dx), -_si(mj * ps * g.dy),
+            -_si(mj * ps * g.dz),
         ])
         if not want_j:
             return out_i, None
@@ -839,10 +910,10 @@ def surface_pressure_pass(fl, bd, col_count, dims, dims_b, cfg,
         sj = st + (cfg.air_pressure / rho0sq) * gate_j * cw
         mi = _ii(i[3])
         out_j = jnp.stack([
-            -jnp.sum(mi * sj * g.dx, -2), -jnp.sum(mi * sj * g.dy, -2),
-            -jnp.sum(mi * sj * g.dz, -2),
-            jnp.sum(mi * ps * g.dx, -2), jnp.sum(mi * ps * g.dy, -2),
-            jnp.sum(mi * ps * g.dz, -2),
+            -_sj(mi * sj * g.dx), -_sj(mi * sj * g.dy),
+            -_sj(mi * sj * g.dz),
+            _sj(mi * ps * g.dx), _sj(mi * ps * g.dy),
+            _sj(mi * ps * g.dz),
         ])
         return out_i, out_j
 
@@ -851,11 +922,11 @@ def surface_pressure_pass(fl, bd, col_count, dims, dims_b, cfg,
         cwb = kn.grad_w_cubic_coef(gb.r, h)
         over_i = _ii(i[5] / jnp.maximum(eps, i[4] * i[4]))
         coefb = -_jb(jb[3]) * over_i * cwb
-        zero = jnp.zeros(gb.r.shape[:-1], F32)
+        zero = _zi(gb.r)
         return jnp.stack([zero, zero, zero,
-                          jnp.sum(coefb * gb.dx, -1),
-                          jnp.sum(coefb * gb.dy, -1),
-                          jnp.sum(coefb * gb.dz, -1)])
+                          _si(coefb * gb.dx),
+                          _si(coefb * gb.dy),
+                          _si(coefb * gb.dz)])
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 6, engine)
 
@@ -877,15 +948,15 @@ def xsph_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
         ty = w * (_jb(j[5]) - _ii(i[5]))
         tz = w * (_jb(j[6]) - _ii(i[6]))
         mj = _jb(j[3])
-        dv_i = jnp.stack([jnp.sum(mj * tx, -1), jnp.sum(mj * ty, -1),
-                          jnp.sum(mj * tz, -1)])
+        dv_i = jnp.stack([_si(mj * tx), _si(mj * ty),
+                          _si(mj * tz)])
         cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
         out_i = jnp.concatenate([dv_i, cg_i])
         if not want_j:
             return out_i, None
         mi = _ii(i[3])
-        dv_j = jnp.stack([-jnp.sum(mi * tx, -2), -jnp.sum(mi * ty, -2),
-                          -jnp.sum(mi * tz, -2)])
+        dv_j = jnp.stack([-_sj(mi * tx), -_sj(mi * ty),
+                          -_sj(mi * tz)])
         return out_i, jnp.concatenate([dv_j, cg_j])
 
     def bdry(i, jb):
@@ -893,7 +964,7 @@ def xsph_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
         cg_i = _colorgrad_terms(i, jb, gb, kn.w_cubic(gb.r, h),
                                 kn.grad_w_cubic_coef(gb.r, h),
                                 cfg.rho_boundary, False)[0]
-        zero3 = jnp.zeros((3,) + gb.r.shape[:-1], F32)
+        zero3 = jnp.stack([_zi(gb.r)] * 3)
         return jnp.concatenate([zero3, cg_i])
 
     return _run(fluid, bdry, fl, bd, col_count, dims, dims_b, 7, engine)
@@ -914,11 +985,11 @@ def density_alpha_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
         mj = _jb(j[3])
         mcj = mj * cw
         da_i = jnp.stack([
-            jnp.sum(mj * w, -1),
-            jnp.sum(mcj * g.dx, -1),
-            jnp.sum(mcj * g.dy, -1),
-            jnp.sum(mcj * g.dz, -1),
-            jnp.sum(mj * mj * r2c2, -1),
+            _si(mj * w),
+            _si(mcj * g.dx),
+            _si(mcj * g.dy),
+            _si(mcj * g.dz),
+            _si(mj * mj * r2c2),
         ])
         cg_i, cg_j = _colorgrad_terms(i, j, g, w, cw, cfg.rho0, want_j)
         out_i = jnp.concatenate([da_i, cg_i])
@@ -927,11 +998,11 @@ def density_alpha_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
         mi = _ii(i[3])
         mci = mi * cw
         da_j = jnp.stack([
-            jnp.sum(mi * w, -2),
-            -jnp.sum(mci * g.dx, -2),
-            -jnp.sum(mci * g.dy, -2),
-            -jnp.sum(mci * g.dz, -2),
-            jnp.sum(mi * mi * r2c2, -2),
+            _sj(mi * w),
+            -_sj(mci * g.dx),
+            -_sj(mci * g.dy),
+            -_sj(mci * g.dz),
+            _sj(mi * mi * r2c2),
         ])
         return out_i, jnp.concatenate([da_j, cg_j])
 
@@ -941,12 +1012,12 @@ def density_alpha_colorgrad_pass(fl, bd, col_count, dims, dims_b, cfg,
         cw = kn.grad_w_cubic_coef(gb.r, h)
         mb = _jb(jb[3])
         mcb = mb * cw
-        zero = jnp.zeros(gb.r.shape[:-1], F32)
+        zero = _zi(gb.r)
         da_i = jnp.stack([
-            jnp.sum(mb * w, -1),
-            jnp.sum(mcb * gb.dx, -1),
-            jnp.sum(mcb * gb.dy, -1),
-            jnp.sum(mcb * gb.dz, -1),
+            _si(mb * w),
+            _si(mcb * gb.dx),
+            _si(mcb * gb.dy),
+            _si(mcb * gb.dz),
             zero,
         ])
         cg_i = _colorgrad_terms(i, jb, gb, w, cw, cfg.rho_boundary,

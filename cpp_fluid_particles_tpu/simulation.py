@@ -97,7 +97,7 @@ class Simulation:
             # would fail its first step)
             self.max_per_cell = self._fit_k(
                 self._initial_occupancy(), self.K_HEADROOM)
-        self.max_columns: Optional[int] = None  # xlac column bound (NCO)
+        self.box: Optional[Tuple[int, int, int]] = None  # xlab box size
         self._down_votes = 0
         self._boundary_pos_arg = boundary_pos
         self._fetch_ms: Optional[float] = None
@@ -136,21 +136,11 @@ class Simulation:
                 else _bpos(cfg_)
             kb = dense_step.boundary_k(b_pos, cfg_)
             self._n_boundary = int(np.asarray(b_pos).shape[0])
-            # 'dense' resolves to the occupied-column compacted executor
-            # (fastest measured on this runtime; see BENCHMARKS.md) —
-            # unless its per-column neighborhood tensor (9x the compact
-            # grid, materialised per traversal) would not fit comfortably
-            # in HBM, where the full-grid 27-offset executor wins (large
-            # scenes are densely occupied anyway, so compaction buys
-            # nothing there).
-            exec_engine = "xlac" if engine == "dense" else engine
-            if engine == "dense":
-                if not hasattr(self, "_nco_est"):
-                    self._nco_est = self._initial_columns(cfg_)
-                gz = cfg_.cell_size[2] + 2
-                j9_bytes = 8 * self._nco_est * 9 * gz * cfg_.max_per_cell * 4
-                if j9_bytes > 1.5e9:
-                    exec_engine = "xla27"
+            # 'dense' resolves to the sliding-box executor (ops/box.py):
+            # the lane-major flat passes run over the fluid's cell-space
+            # bounding box (static size, dynamic position) instead of the
+            # whole domain — fastest measured on this runtime.
+            exec_engine = "xlab" if engine == "dense" else engine
             # the boundary-side scene tensors depend only on kb, not on
             # the fluid K — rebuilds on a K bump reuse them
             if not hasattr(self, "scene"):
@@ -159,14 +149,14 @@ class Simulation:
             dims = _dense.dims_for(cfg_)
             dims_b = _dense.dims_for(cfg_, kb)
             dense_solver_step = dense_step.DENSE_STEPS[self.solver_name]
-            if exec_engine == "xlac" and self.max_columns is None:
-                self.max_columns = self._initial_columns(cfg_)
-            nco = self.max_columns if exec_engine == "xlac" else 0
+            if exec_engine == "xlab" and self.box is None:
+                self.box = self._initial_box(cfg_)
+            box = self.box if exec_engine == "xlab" else None
 
             def _step(state, carry, scene, dt):
                 return dense_solver_step(state, carry, scene, cfg_, dt,
                                          dims, dims_b, engine=exec_engine,
-                                         nco=nco)
+                                         box=box)
 
         donate_args = (0, 1) if self._donate else ()
         self._raw_step = _step
@@ -189,35 +179,51 @@ class Simulation:
         flat = (c[:, 0] * cy + c[:, 1]) * cz + c[:, 2]
         return int(np.bincount(flat).max()) if flat.size else 1
 
-    def _initial_columns(self, cfg_) -> int:
-        """xlac column bound: occupied (x,y) columns of the initial scene
-        with 1.3x headroom, rounded to 32, capped at the domain. Kept
-        tight — pair work scales with the bound, and the auto-capacity
-        retry escalates it when the fluid spreads."""
+    def _fit_box(self, ext, cfg_=None) -> Tuple[int, int, int]:
+        """Box size from measured cell extents: headroom on each axis
+        (room to slosh without a refit), rounded up to multiples of 4,
+        capped at the domain."""
+        cfg_ = cfg_ or self.cfg
+        out = []
+        for e, c in zip(ext, cfg_.cell_size):
+            e = int(min(max(int(e), 4) * 1.25 + 2, c))
+            out.append(int(min(c, int(np.ceil(e / 4)) * 4)))
+        return tuple(out)
+
+    def _initial_box(self, cfg_) -> Tuple[int, int, int]:
+        """Initial box from the initial particle layout (host-side)."""
         pos = np.asarray(self.state.pos)
-        cx, cy, _ = cfg_.cell_size
-        c = (pos[:, :2] / cfg_.cell_length).astype(np.int64)
-        ok = (c[:, 0] >= 0) & (c[:, 0] < cx) & (c[:, 1] >= 0) & (c[:, 1] < cy)
-        cols = np.unique(c[ok][:, 0] * cy + c[ok][:, 1]).size
-        cxy = cx * cy
-        return int(min(cxy, max(64, int(np.ceil(cols * 1.3 / 32)) * 32)))
+        cx, cy, cz = cfg_.cell_size
+        c = (pos / cfg_.cell_length).astype(np.int64)
+        ok = ((c >= 0).all(1) & (c[:, 0] < cx) & (c[:, 1] < cy)
+              & (c[:, 2] < cz))
+        c = c[ok]
+        if not c.size:
+            return self._fit_box((4, 4, 4), cfg_)
+        ext = c.max(0) - c.min(0) + 1
+        return self._fit_box(ext, cfg_)
 
     @staticmethod
     def _fit_k(occ: int, headroom: float) -> int:
         return max(8, int(np.ceil(occ * headroom / 4)) * 4)
 
-    def _bump_capacity(self, reason: str = "k", occ: int = 0) -> bool:
+    def _bump_capacity(self, reason: str = "k", occ: int = 0,
+                       ext=None) -> bool:
         """Escalate a capacity bound; False if maxed. reason: 'k' =
-        per-cell slots (max_per_cell), 'cols' = the xlac occupied-column
-        bound (max_columns). occ: the failed step's measured max cell
-        occupancy — lets the retry jump straight to a fitted K."""
-        if reason == "cols":
-            cx, cy, _ = self.cfg.cell_size
-            cxy = cx * cy
-            if self.max_columns is None or self.max_columns >= cxy:
+        per-cell slots (max_per_cell), 'box' = the sliding-box size.
+        occ/ext: the failed step's measured occupancy / extents — the
+        retry jumps straight to a fitted bound."""
+        if reason == "box":
+            if self.box is None:
                 return False
-            self.max_columns = int(
-                min(cxy, int(np.ceil(self.max_columns * 1.5 / 32)) * 32))
+            fit = self._fit_box(ext) if ext is not None else None
+            new = tuple(max(b + 4, f) if f else b + 4
+                        for b, f in zip(self.box,
+                                        fit or (0, 0, 0)))
+            new = tuple(min(n, c) for n, c in zip(new, self.cfg.cell_size))
+            if new == self.box:
+                return False
+            self.box = new
         else:
             if self.max_per_cell >= self.K_MAX:
                 return False
@@ -228,17 +234,27 @@ class Simulation:
         self._build_step()
         return True
 
-    def _maybe_downshift(self, occ: int) -> None:
-        """Shift K back down after sustained calm (occupancy well under
-        the current bound) — reclaims the (K_fit/K)^2 pair-cost factor
-        once a splash has settled."""
+    def _maybe_downshift(self, occ: int, ext=None) -> None:
+        """Shift K / the box back down after sustained calm (occupancy or
+        extents well under the current bound) — reclaims the pair-cost
+        factor once a splash has settled."""
         if not self.auto_capacity or occ <= 0:
             return
-        fit = self._fit_k(occ, self.K_HEADROOM)
-        if fit <= self.max_per_cell - 4:
+        fit_k = self._fit_k(occ, self.K_HEADROOM)
+        want_k = fit_k <= self.max_per_cell - 4
+        want_box = False
+        fit_box = None
+        if self.box is not None and ext is not None and min(ext) > 0:
+            fit_box = self._fit_box(ext)
+            shrink = sum(b - f for b, f in zip(self.box, fit_box))
+            want_box = shrink >= 8
+        if want_k or want_box:
             self._down_votes += 1
             if self._down_votes >= self.DOWN_VOTES:
-                self.max_per_cell = fit
+                if want_k:
+                    self.max_per_cell = fit_k
+                if want_box:
+                    self.box = fit_box
                 self._down_votes = 0
                 self._build_step()
         else:
@@ -282,14 +298,15 @@ class Simulation:
 
     @staticmethod
     def _overflows(metrics):
-        if "capacity" in metrics:  # packed: one host round trip for all 3
-            ov_k, ov_c, occ = (int(v) for v in
-                               np.asarray(metrics["capacity"]))
-            return ov_k, ov_c, occ
+        """-> (k_overflow, box_overflow, max_occupancy, ext) from ONE
+        host fetch of the packed capacity vector."""
+        if "capacity" in metrics:
+            v = [int(x) for x in np.asarray(metrics["capacity"])]
+            return v[0], v[1], v[2], tuple(v[3:6])
         ov_k = int(np.asarray(metrics["grid_overflow"]))
-        ov_c = int(np.asarray(metrics.get("column_overflow", 0)))
+        ov_b = int(np.asarray(metrics.get("box_overflow", 0)))
         occ = int(np.asarray(metrics.get("max_occupancy", 0)))
-        return ov_k, ov_c, occ
+        return ov_k, ov_b, occ, (0, 0, 0)
 
     def _run_step_once(self, dt, fetch_ms):
         t0 = time.perf_counter()
@@ -316,18 +333,18 @@ class Simulation:
         fetch_ms = self._fetch_baseline_ms()
         need_backup = self.nan_rollback or self.auto_capacity
         backup = self._backup() if need_backup else None
-        state, carry, metrics, (ov_k, ov_c, occ), ms = self._run_step_once(
-            dt, fetch_ms)
-        while self.auto_capacity and (ov_k > 0 or ov_c > 0):
+        state, carry, metrics, (ov_k, ov_b, occ, ext), ms = \
+            self._run_step_once(dt, fetch_ms)
+        while self.auto_capacity and (ov_k > 0 or ov_b > 0):
             # restore FIRST: the failed call donated the old state buffers
             # and the rebuild may inspect self.state (the commit below the
             # loop re-assigns the kept result either way)
             self.state, self.carry = backup
-            if not self._bump_capacity("cols" if ov_c > 0 else "k",
-                                       occ=occ):
+            if not self._bump_capacity("box" if ov_b > 0 else "k",
+                                       occ=occ, ext=ext):
                 break  # capacity exhausted; keep the (dropping) result
             backup = self._backup()
-            state, carry, metrics, (ov_k, ov_c, occ), ms = \
+            state, carry, metrics, (ov_k, ov_b, occ, ext), ms = \
                 self._run_step_once(dt, fetch_ms)
         if self.nan_rollback:
             from .utils.metrics import nan_guard
@@ -341,7 +358,7 @@ class Simulation:
         self.metrics = metrics
         self.frame += 1
         self.total_ms += ms
-        self._maybe_downshift(occ)
+        self._maybe_downshift(occ, ext)
         return ms
 
     def run(self, n_steps: int, dt: Optional[float] = None) -> Dict[str, Any]:
@@ -381,18 +398,16 @@ class Simulation:
                     last = jax.tree_util.tree_map(lambda x: x[-1], ms)
                     # overflow anywhere in the chunk must trigger the
                     # auto-capacity retry, not just on the last frame
-                    last["grid_overflow"] = jnp.max(ms["grid_overflow"])
-                    if "column_overflow" in ms:
-                        last["column_overflow"] = jnp.max(
-                            ms["column_overflow"])
-                    if "max_occupancy" in ms:
-                        last["max_occupancy"] = jnp.max(
-                            ms["max_occupancy"])
+                    for key in ("grid_overflow", "box_overflow",
+                                "max_occupancy", "box_ext"):
+                        if key in ms:
+                            last[key] = jnp.max(ms[key], axis=0)
                     if "capacity" in ms:
-                        last["capacity"] = jnp.stack([
-                            last["grid_overflow"],
-                            last["column_overflow"],
-                            last["max_occupancy"]])
+                        last["capacity"] = jnp.concatenate([
+                            jnp.stack([last["grid_overflow"],
+                                       last["box_overflow"],
+                                       last["max_occupancy"]]),
+                            last["box_ext"]])
                     return st, ca, last
 
                 self._multi_cache[n] = jax.jit(multi, donate_argnums=(0, 1))
@@ -404,22 +419,22 @@ class Simulation:
             t0 = time.perf_counter()
             st, ca, m = fn(self.state, self.carry, self.scene,
                            jnp.float32(dt))
-            ov_k, ov_c, occ = self._overflows(m)
+            ov_k, ov_b, occ, ext = self._overflows(m)
             ms_total = (time.perf_counter() - t0) * 1e3
-            if not (self.auto_capacity and (ov_k > 0 or ov_c > 0)):
+            if not (self.auto_capacity and (ov_k > 0 or ov_b > 0)):
                 break
             # restore FIRST: the failed call donated the old state buffers
             # and the rebuild may inspect self.state (the commit below the
             # loop re-assigns the kept result either way)
             self.state, self.carry = backup
-            if not self._bump_capacity("cols" if ov_c > 0 else "k",
-                                       occ=occ):
+            if not self._bump_capacity("box" if ov_b > 0 else "k",
+                                       occ=occ, ext=ext):
                 break
             backup = self._backup()
         self.state, self.carry, self.metrics = st, ca, m
         self.frame += n_steps
         self.total_ms += ms_total
-        self._maybe_downshift(occ)
+        self._maybe_downshift(occ, ext)
         return ms_total / n_steps
 
     # ------------------------------------------------------------------

@@ -64,27 +64,27 @@ def test_dense_step_matches_reference_engine(setup, solver, ref_mod,
             int(np.asarray(m_r["density_iters"]))
 
 
-@pytest.mark.parametrize("engine", ["xla", "xlac"])
+@pytest.mark.parametrize("engine", ["xla", "xlab"])
 @pytest.mark.parametrize("solver,ref_mod,dense_fn", [
     ("wcsph", wcsph, D.wcsph_step),
     ("dfsph", dfsph, D.dfsph_step),
     ("pbd", pbd, D.pbd_step),
 ])
 def test_xla_executors_agree(setup, engine, solver, ref_mod, dense_fn):
-    """The symmetric half-stencil ('xla') and occupied-column compacted
-    ('xlac') executors must reproduce the plain 27-offset loop ('xla27')
-    for a full step of every solver."""
+    """The symmetric half-stencil ('xla') and sliding-box ('xlab')
+    executors must reproduce the plain 27-offset loop ('xla27') for a
+    full step of every solver."""
     s = setup
     state = s["state"]
     carry = ref_mod.init_carry(state)
     dt = jnp.float32(CFG.dt)
-    nco = 64 if engine == "xlac" else 0
+    box = (8, 8, 8) if engine == "xlab" else None
 
     a_step = jax.jit(lambda st, ca, sc, d: dense_fn(
         st, ca, sc, CFG, d, s["dims"], s["dims_b"], engine="xla27"))
     b_step = jax.jit(lambda st, ca, sc, d: dense_fn(
         st, ca, sc, CFG, d, s["dims"], s["dims_b"], engine=engine,
-        nco=nco))
+        box=box))
     st_a, _, m_a = a_step(state, carry, s["scene_d"], dt)
     st_b, _, m_b = b_step(state, carry, s["scene_d"], dt)
     np.testing.assert_allclose(np.asarray(st_b.pos), np.asarray(st_a.pos),
@@ -92,7 +92,7 @@ def test_xla_executors_agree(setup, engine, solver, ref_mod, dense_fn):
     np.testing.assert_allclose(np.asarray(st_b.vel), np.asarray(st_a.vel),
                                atol=2e-3)
     assert int(np.asarray(m_b["grid_overflow"])) == 0
-    assert int(np.asarray(m_b.get("column_overflow", 0))) == 0
+    assert int(np.asarray(m_b.get("box_overflow", 0))) == 0
 
 
 def test_dense_boundary_mass_matches(setup):

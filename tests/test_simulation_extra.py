@@ -72,19 +72,19 @@ def test_auto_capacity_in_run_scan():
     assert np.isfinite(np.asarray(sim.state.pos)).all()
 
 
-def test_auto_capacity_column_bound():
-    """The xlac engine's occupied-column bound (NCO) escalates like K:
-    force it below the scene's occupancy and the next step must detect
-    column_overflow, re-run, and end clean."""
+def test_auto_capacity_box_bound():
+    """The xlab engine's sliding-box size escalates like K: force it
+    below the scene's extents and the next step must detect box_overflow,
+    re-run at a refitted box, and end clean."""
     pos = small_block()
     sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=pos,
                          warmup=False)
-    assert sim.engine == "dense" and sim.max_columns is not None
-    sim.max_columns = 8  # small_block occupies 16 (x,y) columns
+    assert sim.engine == "dense" and sim.box is not None
+    sim.box = (4, 2, 4)  # small_block spans 4x4x4 cells
     sim._build_step()
     sim.step()
-    assert sim.max_columns > 8
-    assert int(np.asarray(sim.metrics["column_overflow"])) == 0
+    assert sim.box[1] >= 4
+    assert int(np.asarray(sim.metrics["box_overflow"])) == 0
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
     assert np.isfinite(np.asarray(sim.state.pos)).all()
 
