@@ -65,7 +65,7 @@ def main() -> int:
             "compile_s": round(warm_s, 1),
             "fetch_baseline_ms": round(fetch_ms, 2),
             "max_per_cell": sim.max_per_cell,
-            "max_columns": sim.max_columns,
+            "box": sim.box,
             "finite": ok,
             "grid_overflow": m.get("grid_overflow"),
             "density_iters": m.get("density_iters"),

@@ -52,6 +52,14 @@ class SimConfig:
     dfsph_density_threshold: float = 1e-3
     dfsph_divergence_threshold: float = 1e-3
     dfsph_max_iter: int = 20
+    # Warm-start scale for the DIVERGENCE solve (this framework's
+    # extension; the reference warm-starts only the density solve,
+    # src/DFSPHSolver.cu:160-210). 0 = off (reference behavior). The
+    # solve converges to the same threshold either way; a warm start
+    # just reaches it in fewer Jacobi iterations (measured on the dam
+    # break: 20 (maxed out) -> ~13 post-impact, DFSPH frame time -22%;
+    # scale 1.0 converges, 0.5 does not help). See PARITY.md.
+    dfsph_warm_divergence: float = 1.0
 
     # --- PBD solver (src/PBDSolver.h:27-30) ---
     pbd_max_iter: int = 20

@@ -304,10 +304,11 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     base = fill(
         [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
          state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-         carry.warm_stiff],
-        [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0],
+         carry.warm_stiff, carry.div_warm],
+        [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
     )
-    pos_d, mass_d, vel_d, warm_d = base[0:3], base[3:4], base[4:7], base[7]
+    pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
+    warm_d, divwarm_d = base[7], base[8]
     pm = jnp.concatenate([pos_d, mass_d], 0)
 
     surface_on = (cfg.surface_tension > cfg.epsilon
@@ -349,20 +350,26 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
                         0.0, err)
         return err, err * alpha
 
+    # optional divergence warm start (cfg.dfsph_warm_divergence > 0;
+    # this framework's extension — the reference warm-starts only the
+    # density solve): apply last frame's accumulated stiffness before the
+    # first error evaluation
+    if cfg.dfsph_warm_divergence > 0.0:
+        vel_d = vel_d + sa_pass(divwarm_d * cfg.dfsph_warm_divergence)
     err0, stiff0 = div_error(vel_d)
 
     def div_cond(c):
-        it, _, _, total = c
+        it, _, _, _, total = c
         return ((it < 1) | (total > tau_div)) & (it < cfg.dfsph_max_iter)
 
     def div_body(c):
-        it, v, s, _ = c
+        it, v, s, w, _ = c
         v = v + sa_pass(s)
         err, s = div_error(v)
-        return it + 1, v, s, jnp.sum(jnp.abs(err))
+        return it + 1, v, s, w + s, jnp.sum(jnp.abs(err))
 
-    div_it, vel_d, _, div_total = jax.lax.while_loop(
-        div_cond, div_body, (jnp.int32(0), vel_d, stiff0, f32max))
+    div_it, vel_d, _, divwarm_d, div_total = jax.lax.while_loop(
+        div_cond, div_body, (jnp.int32(0), vel_d, stiff0, stiff0, f32max))
 
     # --- non-pressure forces ---
     vel_d = _grav(vel_d, cfg, dt)
@@ -409,12 +416,13 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
 
     out = read(jnp.concatenate(
-        [pos_d, vel_d, rho[None], warm_d[None]], 0))
+        [pos_d, vel_d, rho[None], warm_d[None], divwarm_d[None]], 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
     new_state = shard_particles(state._replace(pos=pos, vel=vel,
                                                density=out[6]))
-    new_carry = shard_particles(dfsph_mod.DFSPHCarry(warm_stiff=out[7]))
+    new_carry = shard_particles(dfsph_mod.DFSPHCarry(warm_stiff=out[7],
+                                                     div_warm=out[8]))
     metrics = {
         **_base_metrics(idx),
         "divergence_iters": div_it,

@@ -30,10 +30,14 @@ F32_MAX = jnp.finfo(jnp.float32).max
 
 class DFSPHCarry(NamedTuple):
     warm_stiff: jnp.ndarray  # (N,) accumulated density-solve stiffness
+    div_warm: jnp.ndarray    # (N,) accumulated divergence-solve stiffness
+                             #     (used when cfg.dfsph_warm_divergence > 0)
 
 
 def init_carry(state: FluidState) -> DFSPHCarry:
-    return DFSPHCarry(warm_stiff=jnp.zeros((state.n,), jnp.float32))
+    # two distinct buffers: a shared zeros array would be donated twice
+    return DFSPHCarry(warm_stiff=jnp.zeros((state.n,), jnp.float32),
+                      div_warm=jnp.zeros((state.n,), jnp.float32))
 
 
 # ----------------------------------------------------------------------
@@ -147,11 +151,17 @@ def _stiffness_accel(fg: C.FluidGrids, scene: C.Scene, stiff, cfg):
 # iteration loops
 # ----------------------------------------------------------------------
 
-def correct_divergence(fg, scene, vel, density, alpha, cfg, dt):
+def correct_divergence(fg, scene, vel, density, alpha, div_warm, cfg, dt):
     """Divergence-error Jacobi loop (src/DFSPHSolver.cu:331-363):
-    iterate while (iter < 1 or total > thresh*N*rho0) and iter < maxIter."""
+    iterate while (iter < 1 or total > thresh*N*rho0) and iter < maxIter.
+    Optional warm start (cfg.dfsph_warm_divergence > 0; this framework's
+    extension — the reference warm-starts only the density solve): last
+    frame's accumulated stiffness is applied before the first error
+    evaluation, cutting the Jacobi iterations needed to reach the SAME
+    convergence threshold."""
     n = vel.shape[0]
     tau = cfg.dfsph_divergence_threshold * n * cfg.rho0
+    warm_on = cfg.dfsph_warm_divergence > 0.0
 
     def div_error(v):
         e = _velocity_divergence(fg, scene, v, cfg)
@@ -162,22 +172,26 @@ def correct_divergence(fg, scene, vel, density, alpha, cfg, dt):
         )
         return err, err * alpha
 
+    if warm_on:
+        vel = vel + _stiffness_accel(
+            fg, scene, div_warm * cfg.dfsph_warm_divergence, cfg)
     err0, stiff0 = div_error(vel)
+    warm = stiff0
 
     def cond(c):
-        it, _, _, total = c
+        it, _, _, _, total = c
         return ((it < 1) | (total > tau)) & (it < cfg.dfsph_max_iter)
 
     def body(c):
-        it, v, stiff, _ = c
+        it, v, stiff, w, _ = c
         v = v + _stiffness_accel(fg, scene, stiff, cfg)  # dt folded into stiff
         err, stiff = div_error(v)
-        return it + 1, v, stiff, jnp.sum(jnp.abs(err))
+        return it + 1, v, stiff, w + stiff, jnp.sum(jnp.abs(err))
 
-    it, vel, _, total = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), vel, stiff0, jnp.float32(F32_MAX))
+    it, vel, _, warm, total = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), vel, stiff0, warm, jnp.float32(F32_MAX))
     )
-    return vel, it, total
+    return vel, warm, it, total
 
 
 def correct_density(fg, scene, vel, density, alpha, warm_stiff, cfg, dt):
@@ -235,8 +249,8 @@ def step(
     # step 2: density + alpha
     density, alpha = compute_density_alpha(fg, scene, cfg)
     # step 3: divergence solve
-    vel, div_iters, div_err = correct_divergence(
-        fg, scene, state.vel, density, alpha, cfg, dt
+    vel, div_warm, div_iters, div_err = correct_divergence(
+        fg, scene, state.vel, density, alpha, carry.div_warm, cfg, dt
     )
     # step 4: non-pressure forces
     vel = C.gravity_update(vel, cfg, dt)
@@ -259,4 +273,4 @@ def step(
         "divergence_error": div_err,
         "density_error": den_err,
     }
-    return new_state, DFSPHCarry(warm_stiff=warm), metrics
+    return new_state, DFSPHCarry(warm_stiff=warm, div_warm=div_warm), metrics

@@ -53,7 +53,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--interactive", action="store_true",
                    help="read key commands from stdin")
     p.add_argument("--engine", default=None,
-                   help="dense|pallas|interpret|reference (default: config)")
+                   help="dense|xlab|xla|xla27|pallas|interpret|reference")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", default=None,
                    help="jax.profiler trace directory")

@@ -112,9 +112,9 @@ def test_pass_interpret_matches_xla(setup, name, fn, rows, has_bd):
     outs = {}
     for eng in ("xla", "interpret"):
         sc = s["scenes"][eng]
+        bd = sc.bd if eng == "xla" else sc.bd_jcols
         if has_bd:
-            outs[eng] = fn(fl, D._bd(sc, eng), colc, dims, dims_b, cfg,
-                           engine=eng)
+            outs[eng] = fn(fl, bd, colc, dims, dims_b, cfg, engine=eng)
         else:
             outs[eng] = fn(fl, colc, dims, cfg, engine=eng)
     a = np.asarray(outs["xla"])

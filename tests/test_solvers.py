@@ -50,9 +50,11 @@ def test_dfsph_golden_two_steps_warm_start(scene):
     missing /dt scale (~1/dt = 500x too weak) blows the tolerance here.
     The block rests on the floor so the density solve has real work (a
     free-falling block has zero density error and a trivially zero warm
-    start)."""
+    start). Runs in reference-exact mode (no divergence warm start —
+    that extension is compared engine-vs-engine, not vs this oracle)."""
     pos0 = small_block(origin=(0.16, 0.006, 0.16))
-    sim = cfp.Simulation(solver="dfsph", cfg=CFG, fluid_pos=pos0,
+    cfg = CFG.replace(dfsph_warm_divergence=0.0)
+    sim = cfp.Simulation(solver="dfsph", cfg=cfg, fluid_pos=pos0,
                          warmup=False)
     bpos = np.asarray(scene.b_pos, np.float64)
     bmass = np.asarray(scene.b_mass, np.float64)
