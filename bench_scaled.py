@@ -41,9 +41,17 @@ def main() -> int:
         _ = np.asarray(ident(x))
     fetch_ms = (time.perf_counter() - t0) * 1e3 / 5
 
-    # first chunk compiles + warms; second chunk is the measurement
+    # warm with the SAME chunk length as the measurement (run_scan caches
+    # one compiled program per n) until the capacity configuration
+    # stabilises — an auto-capacity bump or a first-time scan length
+    # inside the timed window would bill a full XLA recompile to the
+    # physics
     t0 = time.perf_counter()
-    sim.run_scan(2)
+    for _ in range(5):
+        before = sim.build_id
+        sim.run_scan(n_steps)
+        if sim.build_id == before and _ > 0:
+            break
     warm_s = time.perf_counter() - t0
     per_step = sim.run_scan(n_steps) - fetch_ms / n_steps
     ok = bool(np.isfinite(np.asarray(sim.state.pos)).all())

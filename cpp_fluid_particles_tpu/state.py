@@ -84,7 +84,10 @@ def scaled_dam_scene(n_target: int, cfg_overrides=None):
     the 0.0404 grid into 3-plane bands per axis — isolated cells holding
     27 particles — which would force the static per-cell capacity (and
     its K^2 pair cost / memory) to triple for a handful of cells. The
-    exact half-cell tiling keeps initial occupancy at 8 everywhere."""
+    origin is snapped to a quarter-cell offset so lattice planes sit at
+    0.25/0.75 of their cells — far from cell boundaries, where float32
+    binning on device would otherwise alias edge planes into neighboring
+    cells (occupancy 12-27 instead of 8)."""
     from .config import dam_break_config
 
     side = int(round(n_target ** (1.0 / 3.0)))
@@ -94,7 +97,10 @@ def scaled_dam_scene(n_target: int, cfg_overrides=None):
     space = float(np.ceil(extent * 2.0 * 100) / 100)
     cfg = dam_break_config(space_size=(space, space, space),
                            **(cfg_overrides or {}))
-    origin = (0.25 * space, 0.1 * space, 0.25 * space)
+    cl = cfg.cell_length
+    origin = tuple(
+        (np.floor(f * space / cl) + 0.25) * cl
+        for f in (0.25, 0.1, 0.25))
     return cfg, block_positions(origin, (side, side, side), spacing)
 
 
