@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import (
     AXIS,
     constrain_axis,

@@ -70,6 +70,17 @@ def test_multi_step_sharded_trajectory(setup):
     assert (p >= 0).all() and (p <= 0.99).all()
 
 
+def test_distributed_bootstrap_noop_single_process():
+    """ensure_initialized is a safe no-op outside a multi-process job, and
+    the local-shard helper covers the whole range in single-process."""
+    from cpp_fluid_particles_tpu.parallel import distributed
+    assert distributed.ensure_initialized() is False
+    assert distributed.is_multiprocess_env() is False
+    sl = distributed.local_device_slice(1000)
+    assert (sl.start, sl.stop) == (0, 1000)
+    assert distributed.process_index() == 0
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as g
     fn, args = g.entry()
