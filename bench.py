@@ -107,15 +107,20 @@ def _avg_run_ms(sim, dt, fetch_ms, total=300, chunk=25):
     dirty = 0
     compiled = set()
     for _ in range(total // chunk):
-        before = sim.build_id
+        before = sim.config_key
+        r0 = sim.retries
         ms = _chain_ms(sim, chunk, dt, fetch_ms)
-        if sim.build_id == before and before in compiled:
+        # a chunk is clean iff no capacity retry re-ran it mid-window and
+        # its program was already compiled (Simulation caches compiled
+        # steps per config, so config revisits are free; an end-of-chunk
+        # downshift changes config_key AFTER the timed window and is fine)
+        if sim.retries == r0 and before in compiled:
             times.append(ms)
         else:
             dirty += 1
-        # only the config that actually executed this chunk is known
-        # compiled; a build created by an end-of-chunk downshift compiles
-        # in the NEXT chunk (which must therefore count as dirty)
+        # only configs that EXECUTED a scan chunk have their scan program
+        # compiled (an end-of-chunk downshift's new config compiles on its
+        # first chunk, which must count dirty)
         compiled.add(before)
     # rerun one clean chunk if everything was dirty (pathological)
     if not times:
