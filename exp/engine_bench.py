@@ -16,7 +16,6 @@ sys.path.insert(0, "/root/repo")
 
 import cpp_fluid_particles_tpu as cfp
 from cpp_fluid_particles_tpu.models import dense_step as D
-from cpp_fluid_particles_tpu.ops import compact as cp
 from cpp_fluid_particles_tpu.ops import dense as dn
 from cpp_fluid_particles_tpu.ops import pallas_passes as pp
 from cpp_fluid_particles_tpu.state import boundary_positions, dam_break_positions
@@ -73,18 +72,11 @@ def main():
             vel[:, 0], vel[:, 1], vel[:, 2],
             jnp.ones((n,), F32), jnp.zeros((n,), F32)]
     fl = dn.fill_dense(idx, rows, [dn.POS_PAD] * 3 + [0.0] * 6, dims)
-    idxc = cp.build_compact_index(pos, cfg, dims, nco)
-    cfl = cp.fill_compact(idxc, rows, [dn.POS_PAD] * 3 + [0.0] * 6,
-                          dims, nco)
-    print(f"n={n} K={K} nco={nco} n_cols={int(idxc.n_cols)} "
-          f"ov={int(idx.overflow)}", flush=True)
+    print(f"n={n} K={K} ov={int(idx.overflow)}", flush=True)
 
     def mk(fn_name, rows_end, engine, grid):
         passfn = getattr(pp, fn_name)
-        if engine == "xlac":
-            colc = (idxc, nco)
-        else:
-            colc = idx.col_count
+        colc = idx.col_count
 
         def run(args, c):
             g = args.at[3].add(c)
@@ -100,8 +92,8 @@ def main():
         ("surface_pressure_pass", 9),  # rows 4-8 stand in for rho/p/cg
     ]:
         line = f"{fn_name:32s}"
-        for engine in ("xla27", "xla", "xlac"):
-            grid = cfl if engine == "xlac" else fl
+        for engine in ("xla27", "xla"):
+            grid = fl
             run, g = mk(fn_name, rows_end, engine, grid)
             try:
                 ms = time_fn(run, g, reps)
