@@ -60,6 +60,14 @@ class SimConfig:
     # break: 20 (maxed out) -> ~13 post-impact, DFSPH frame time -22%;
     # scale 1.0 converges, 0.5 does not help). See PARITY.md.
     dfsph_warm_divergence: float = 1.0
+    # Over-relaxation factor applied to every Jacobi stiffness update in
+    # both DFSPH solves (1.0 = the reference's plain Jacobi iteration;
+    # the converged fixed point is unchanged either way). EXPERIMENTAL —
+    # measured on the dam break, omega=1.3 does cut divergence iterations
+    # from ~13 to ~3 but overshoots during impact: velocities spike, cell
+    # occupancy jumps 12 -> 25, and frame times get WORSE through capacity
+    # escalation. Keep at 1.0 for violent scenes.
+    dfsph_sor: float = 1.0
 
     # --- PBD solver (src/PBDSolver.h:27-30) ---
     pbd_max_iter: int = 20

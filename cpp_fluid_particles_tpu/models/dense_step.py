@@ -348,7 +348,8 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
         err = jnp.maximum(0.0, e)
         err = jnp.where((rho + dt * err < cfg.rho0) & (rho <= cfg.rho0),
                         0.0, err)
-        return err, err * alpha
+        # over-relaxed Jacobi (cfg.dfsph_sor; exact at the fixed point)
+        return err, err * alpha * cfg.dfsph_sor
 
     # optional divergence warm start (cfg.dfsph_warm_divergence > 0;
     # this framework's extension — the reference warm-starts only the
@@ -387,7 +388,7 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     def den_error(v_d):
         e = div_pass(v_d)
         err = jnp.maximum(0.0, dt * e + rho - cfg.rho0)
-        return err, err * alpha
+        return err, err * alpha * cfg.dfsph_sor
 
     # warm start applies through the same correction scale as in-loop
     # iterations: vel += a/dt (src/DFSPHSolver.cu correctDensityError_CUDA)

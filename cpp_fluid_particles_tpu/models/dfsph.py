@@ -170,7 +170,8 @@ def correct_divergence(fg, scene, vel, density, alpha, div_warm, cfg, dt):
         err = jnp.where(
             (density + dt * err < cfg.rho0) & (density <= cfg.rho0), 0.0, err
         )
-        return err, err * alpha
+        # over-relaxed Jacobi (cfg.dfsph_sor; exact at the fixed point)
+        return err, err * alpha * cfg.dfsph_sor
 
     if warm_on:
         vel = vel + _stiffness_accel(
@@ -203,7 +204,7 @@ def correct_density(fg, scene, vel, density, alpha, warm_stiff, cfg, dt):
     def den_error(v):
         e = _velocity_divergence(fg, scene, v, cfg)
         err = jnp.maximum(0.0, dt * e + density - cfg.rho0)
-        return err, err * alpha
+        return err, err * alpha * cfg.dfsph_sor
 
     # warm start (no realignment needed — particle identity is stable);
     # applied through the same correction kernel as in-loop iterations,
