@@ -1,10 +1,11 @@
-"""Dense-layout solver steps — the Pallas fast path for all three solvers.
+"""Dense-layout solver steps — the fast path for all three solvers.
 
 Same physics contract as models/{wcsph,dfsph,pbd}.py (each formula cites the
-same reference lines), but the per-step state lives in the ghosted dense
-cell grid (ops/dense.py): one stacked scatter in, all neighbor passes as
-Pallas column kernels (ops/pallas_passes.py), every intermediate update
-elementwise in dense space, one stacked gather out. No per-pass
+same reference lines), but the per-step state lives in a lane-major grid —
+the full ghosted domain (ops/dense.py) or the sliding fluid bounding box
+(ops/box.py, the default) — with one stacked scatter in, all neighbor
+passes through the executors in ops/pallas_passes.py, every intermediate
+update elementwise in grid space, and one stacked gather out. No per-pass
 scatter/gather round trips, no XLA row gathers.
 
 Safety invariants used throughout: empty slots carry POS_PAD positions and

@@ -1,4 +1,4 @@
-"""Neighbor-pass bodies + three executors (Pallas columns / fused XLA).
+"""Neighbor-pass bodies + the executors that run them (XLA / Pallas).
 
 Replaces the reference's per-thread 27-cell scans (src/BasicSPHSolver.cu:62-70
 et al.). Each physics pass is defined by TERM functions — pair math in
@@ -6,33 +6,35 @@ vector-component form (a (...,3) axis would split XLA fusions and
 materialise the pair tensor):
 
   * ``fluid_terms(i, j, want_j) -> (out_i, out_j | None)`` — the fluid-fluid
-    pair block; ``out_i`` reduces over the j axis (axis -1), ``out_j`` over
-    the i axis (axis -2). The j-side reduction is the Newton's-third-law
-    mirror (W symmetric, grad W antisymmetric, mass weight swapped), so one
-    pair-block evaluation serves both particles of each pair.
+    pair block; ``out_i`` reduces to i-particle shape (``_si``), ``out_j``
+    to j-particle shape (``_sj``). The j-side reduction is the
+    Newton's-third-law mirror (W symmetric, grad W antisymmetric, mass
+    weight swapped), so one pair-block evaluation serves both particles of
+    each pair.
   * ``bd_terms(i, jb) -> out_i`` — the fluid-boundary block (one-sided:
     boundary particles are static and receive no forces).
 
+Bodies are written once against the convention-neutral primitives
+``_ii/_jb/_si/_sj/_zi`` (see the conventions section below) and serve every
+executor unchanged (differentially tested).
+
 Executors:
 
+  * ``column_pass_xla_sym`` (engine='xla', also the body of the sliding-box
+    'xlab' engine): lane-major HALF-stencil loop — 13 offsets + the self
+    offset instead of 27; each fluid pair block (K_i, K_j, cells) is
+    evaluated once and reduced along both axes, the j-side partials shifted
+    to their home cells by a pad + dynamic-slice on the flat cell axis (no
+    gathers). The fast path on this runtime (~the VPU compute floor).
+  * ``column_pass_xla`` (engine='xla27'): the plain lane-major 27-offset
+    loop, kept as a differential-testing oracle for the symmetric executor.
   * ``column_pass`` (engine='pallas'/'interpret'): one program per (x, y)
     cell column over BlockSpec-pipelined candidate tensors built by
     ``build_i``/``build_j``; the (CZ, K, 27K) pair blocks live in VMEM and
-    never touch HBM, and empty columns are skipped via a scalar-prefetched
-    occupancy table. The high-performance path on direct TPU runtimes.
-  * ``column_pass_xla_sym`` (engine='xla'): HALF-stencil loop — 13 offsets
-    + the self offset instead of 27; each fluid pair block is evaluated
-    once and reduced along both axes, the j-side partials shifted to their
-    home cells by a static pad + dynamic-slice (no gathers). Boundary
-    blocks keep the full 27 offsets (both o and 26-o folded into the same
-    iteration). ~Halves pair-kernel work and pair-stream traffic vs the
-    27-offset loop. The fast path on runtimes where Pallas custom-calls
-    are slow (e.g. the axon relay).
-  * ``column_pass_xla`` (engine='xla27'): the plain 27-offset loop, kept
-    as a differential-testing oracle for the symmetric executor.
-
-Bodies are shape-generic over the candidate width and the leading axis, so
-the same physics definition serves all executors (differentially tested).
+    empty columns are skipped via a scalar-prefetched occupancy table.
+    Validated in CI (interpret mode); on the current runtime Mosaic codegen
+    measures ~2x behind the XLA executors (BENCHMARKS.md), so this is an
+    alternative path, not the default.
 """
 
 from __future__ import annotations

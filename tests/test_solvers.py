@@ -121,6 +121,50 @@ def test_dfsph_iteration_bounds_and_errors():
                 CFG.dfsph_density_threshold * n * CFG.rho0 * 1.001)
 
 
+def test_dfsph_divergence_warm_start_carries_and_converges():
+    """The divergence warm start (PARITY.md #7) carries a non-trivial
+    stiffness once the block settles, and the warm-started solve still
+    satisfies the convergence contract (threshold or max-iter)."""
+    cfg = CFG  # default dfsph_warm_divergence=1.0
+    sim = cfp.Simulation(solver="dfsph", cfg=cfg,
+                         fluid_pos=small_block(origin=(0.16, 0.006, 0.16)),
+                         warmup=False)
+    n = sim.fluid_size
+    for _ in range(6):
+        sim.step()
+        it = int(np.asarray(sim.metrics["divergence_iters"]))
+        assert 1 <= it <= cfg.dfsph_max_iter
+        if it < cfg.dfsph_max_iter:
+            assert float(np.asarray(sim.metrics["divergence_error"])) <= (
+                cfg.dfsph_divergence_threshold * n * cfg.rho0 * 1.001)
+    assert np.abs(np.asarray(sim.carry.div_warm)).max() > 0.0
+    # warm-off runs the reference iteration exactly; both must end finite
+    sim0 = cfp.Simulation(
+        solver="dfsph", cfg=cfg.replace(dfsph_warm_divergence=0.0),
+        fluid_pos=small_block(origin=(0.16, 0.006, 0.16)), warmup=False)
+    for _ in range(6):
+        sim0.step()
+    assert np.isfinite(np.asarray(sim0.state.pos)).all()
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+
+def test_box_shrinks_after_calm():
+    """The sliding box escalates for a spread-out transient and shrinks
+    back (with hysteresis) once the fluid re-concentrates."""
+    pos = small_block()
+    sim = cfp.Simulation(solver="wcsph", cfg=CFG, fluid_pos=pos,
+                         warmup=False)
+    small = sim.box
+    # force a much larger box, as if a splash had spread the fluid
+    sim.box = tuple(min(b + 8, c) for b, c in zip(small, CFG.cell_size))
+    sim._build_step()
+    for _ in range(3 * sim.DOWN_VOTES):
+        sim.step()
+    assert all(b <= s + 4 for b, s in zip(sim.box, small)), (
+        f"box failed to shrink: {sim.box} vs initial {small}")
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
+
 def test_pbd_projection_limits_compression():
     sim = cfp.Simulation(solver="pbd", cfg=CFG, fluid_pos=small_block(),
                          warmup=True)
