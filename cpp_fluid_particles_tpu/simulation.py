@@ -202,12 +202,15 @@ class Simulation:
 
     def _fit_box(self, ext, cfg_=None) -> Tuple[int, int, int]:
         """Box size from measured cell extents: headroom on each axis
-        (room to slosh without a refit), rounded up to multiples of 4,
-        capped at the domain."""
+        (room to slosh without a refit; additive beyond 32 cells — a
+        large box's 25% multiplicative slack costs real pass time while
+        the fluid can only move a few cells per chunk), rounded up to
+        multiples of 4, capped at the domain."""
         cfg_ = cfg_ or self.cfg
         out = []
         for e, c in zip(ext, cfg_.cell_size):
-            e = int(min(max(int(e), 4) * 1.25 + 2, c))
+            e = max(int(e), 4)
+            e = int(min(min(e * 1.25, e + 8.0) + 2, c))
             out.append(int(min(c, int(np.ceil(e / 4)) * 4)))
         return tuple(out)
 
@@ -335,11 +338,40 @@ class Simulation:
         occ = int(np.asarray(metrics.get("max_occupancy", 0)))
         return ov_k, ov_b, occ, (0, 0, 0)
 
+    def _call_compiled(self, fn, *args):
+        """Invoke a compiled step, retrying at perturbed capacity configs
+        if XLA's backend compiler crashes on this exact shape.
+
+        Observed in the wild (v5e): the TPU compile helper can hit an
+        internal memory-space-assignment CHECK failure for specific
+        (K, box) shape combinations and abort — the shape is legal, the
+        compiler just dies on it. Since the adaptive capacity machinery
+        explores shapes, treat a compile crash like an overflow: bump K to
+        the next rung (different shapes) and retry a bounded number of
+        times instead of killing the simulation."""
+        for attempt in range(3):
+            try:
+                return fn()(self.state, self.carry, self.scene, *args)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                compile_crash = ("remote_compile" in msg
+                                 or "INTERNAL" in msg)
+                if (not compile_crash or not self.auto_capacity
+                        or self.max_per_cell + 2 > self.K_MAX
+                        or attempt == 2):
+                    raise
+                import warnings
+                warnings.warn(
+                    f"XLA backend compiler crashed on config "
+                    f"{self.config_key}; retrying at K+2 "
+                    f"({type(e).__name__}: {msg.splitlines()[0][:120]})")
+                self.max_per_cell += 2
+                self._build_step()
+
     def _run_step_once(self, dt, fetch_ms):
         t0 = time.perf_counter()
-        state, carry, metrics = self._jit_step(
-            self.state, self.carry, self.scene, jnp.float32(dt)
-        )
+        state, carry, metrics = self._call_compiled(
+            lambda: self._jit_step, jnp.float32(dt))
         # force completion with a scalar host fetch (block_until_ready
         # does not block through the axon relay), then subtract the
         # measured dispatch+fetch round trip; the overflow counters double
@@ -443,10 +475,9 @@ class Simulation:
 
         backup = self._backup() if self.auto_capacity else None
         while True:
-            fn = compiled(n_steps)
             t0 = time.perf_counter()
-            st, ca, m = fn(self.state, self.carry, self.scene,
-                           jnp.float32(dt))
+            st, ca, m = self._call_compiled(
+                lambda: compiled(n_steps), jnp.float32(dt))
             ov_k, ov_b, occ, ext = self._overflows(m)
             ms_total = (time.perf_counter() - t0) * 1e3
             if not (self.auto_capacity and (ov_k > 0 or ov_b > 0)):

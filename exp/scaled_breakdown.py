@@ -71,7 +71,7 @@ def main():
     scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xla")
     print(f"n={n} cells={cfg.cell_size} kb={kb} "
           f"scene_build={time.perf_counter()-t0:.1f}s", flush=True)
-    box = (64, 64, 64)
+    box = (60, 60, 60)
     bdims = dn.DenseDims(box[0], box[1], box[2], dims.k)
     bdims_b = dn.DenseDims(box[0], box[1], box[2], dims_b.k)
 
@@ -109,6 +109,17 @@ def main():
         return pp.density_pass(g[:4].at[3].add(c), bb, None, bdims,
                                bdims_b, cfg, engine="xla")
 
+    def f_density27(args, c):
+        g, bb = args
+        return pp.density_pass(g[:4].at[3].add(c), bb, None, bdims,
+                               bdims_b, cfg, engine="xla27")
+
+    def f_sa27(args, c):
+        g, bb = args
+        g5 = jnp.concatenate([g[:4], g.at[3].add(c)[4:5]], 0)
+        return pp.stiffness_accel_pass(g5, bb, None, bdims, bdims_b, cfg,
+                                       engine="xla27")
+
     def f_density_nobd(args, c):
         g, bb = args
         return pp.density_pass(g[:4].at[3].add(c), None, None, bdims,
@@ -136,7 +147,9 @@ def main():
         ("index only      ", f_index, (pos, vel)),
         ("index+fill      ", f_fill, (pos, vel)),
         ("index+fill+read ", f_fill_read, (pos, vel)),
-        ("density w/ bd   ", f_density, (base, bdx)),
+        ("density sym     ", f_density, (base, bdx)),
+        ("density 27      ", f_density27, (base, bdx)),
+        ("sa 27           ", f_sa27, (base, bdx)),
         ("density no bd   ", f_density_nobd, (base, bdx)),
         ("stiffness accel ", f_sa, (base, bdx)),
         ("FULL dfsph step ", f_step, state),
