@@ -85,6 +85,11 @@ class Simulation:
         engine = self.cfg.engine
         if engine == "auto":
             engine = "dense"
+        valid = ("dense", "xlab", "xla", "xla27", "pallas", "interpret",
+                 "reference")
+        if engine not in valid:
+            raise ValueError(
+                f"unknown engine {engine!r}; choose from {valid}")
         self.engine = engine
         self._donate = donate
         # no-drop guarantee: only the dense engines can swap K cheaply
