@@ -73,6 +73,14 @@ class SimConfig:
     pbd_max_iter: int = 20
     pbd_xsph_c: float = 0.05
     pbd_relaxation: float = 0.75
+    # Optional convergence-based early exit for the projection loop (this
+    # framework's extension; the reference always runs the fixed 20
+    # iterations). 0 = off (reference behavior, plus the always-on EXACT
+    # early exit when every lambda is zero). A value like 0.01 stops
+    # iterating once max(rho)/rho0 - 1 < tol — the standard
+    # SPlisHSPlasH-style criterion; measured on the dam break it cuts
+    # post-impact iterations substantially at ~1% residual compression.
+    pbd_density_tolerance: float = 0.0
 
     # --- static capacity bounds (TPU fixed-shape requirements; no reference
     #     equivalent — the CUDA code walks dynamic cellStart ranges) ---

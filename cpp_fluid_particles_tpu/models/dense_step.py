@@ -477,6 +477,11 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
             0.0,
         ) * cfg.pbd_relaxation
         alive = jnp.any(lam != 0.0)
+        if cfg.pbd_density_tolerance > 0.0:
+            # optional convergence exit (cfg.pbd_density_tolerance; the
+            # reference always runs the full 20 iterations)
+            alive = alive & (jnp.max(rho) / cfg.rho0 - 1.0
+                             > cfg.pbd_density_tolerance)
         dp = pp.stiffness_accel_pass(
             (p_d, mass_d, lam[None]), bdx, colc,
             dims, dims_b, cfg, engine) / cfg.rho0

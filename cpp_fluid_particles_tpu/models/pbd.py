@@ -157,6 +157,11 @@ def step(
         it, pos, _, _ = c
         rho, lam = _density_lambda(fg, scene, pos, cfg)
         alive = jnp.any(lam != 0.0)
+        if cfg.pbd_density_tolerance > 0.0:
+            # optional convergence exit (cfg.pbd_density_tolerance; the
+            # reference always runs the full 20 iterations)
+            alive = alive & (jnp.max(rho) / cfg.rho0 - 1.0
+                             > cfg.pbd_density_tolerance)
         dp = _delta_pos(fg, scene, pos, lam, cfg)
         pos = C.enforce_boundary_pos(pos + dp, cfg)
         return it + 1, pos, rho, alive
