@@ -168,7 +168,7 @@ def run_interactive(args) -> int:
         if not line:
             return 0
         stripped = line.rstrip("\n")
-        if stripped[:1] in "mM":
+        if stripped[:1] in ("m", "M"):
             # mouse-drag rotate (src/main.cpp:197-221): rot += d * 180/720
             try:
                 dx, dy = (float(v) for v in stripped[1:].split())
