@@ -271,6 +271,105 @@ def dfsph_step(pos, vel, mass, bpos, bmass, cfg, dt, warm_stiff):
     return pos, vel, rho, warm, div_it, den_it
 
 
+# -- full PBD step (src/PBDSolver.cu:34-73) ----------------------------
+
+def pbd_step(pos, vel, mass, bpos, bmass, cfg, dt, pos_last):
+    """One full PBD frame, all-pairs, float64, following the reference's
+    step order (src/PBDSolver.cu:34-73): project (fixed maxIter=20
+    position-constraint iterations, src/PBDSolver.cu:225-258), velocity
+    from the position delta vs ``pos_last`` (:55-60), XSPH viscosity
+    (:89-125), surface effects, gravity, then remember-position + advect
+    with the full wall clamp (predict, :71-79). First-frame semantics: the
+    reference initialises ``fluidPosLast`` and SKIPS the whole first step
+    via a thrown exception (:44-47); this framework instead sets
+    ``pos_last = pos`` at carry creation and runs frame 1 normally —
+    callers of this oracle pass ``pos_last`` explicitly, so both semantics
+    can be expressed.
+    Returns (pos, vel, rho, new_pos_last, n_project_iters)."""
+    pos = pos.astype(np.float64)
+    vel = vel.astype(np.float64)
+    pos_last = pos_last.astype(np.float64)
+    h = cfg.radius
+    space = np.asarray(cfg.space_size)
+
+    it = 0
+    rho = np.zeros(pos.shape[0])
+    for it in range(1, cfg.pbd_max_iter + 1):
+        rho, lam = density_lambda(pos, mass, bpos, bmass, h, cfg.rho0,
+                                  cfg.pbd_relaxation)
+        dp = delta_pos(pos, mass, lam, bpos, bmass, h, cfg.rho0)
+        # position-only clamp inside projection (src/PBDSolver.cu:212-223)
+        pos = np.clip(pos + dp, 0.0 * space, 0.99 * space)
+
+    vel = (pos - pos_last) / dt
+    vel = vel + xsph_dv(pos, vel, mass, h, cfg.rho0, cfg.pbd_xsph_c)
+    if cfg.surface_tension > EPS or cfg.air_pressure > EPS:
+        cg = color_gradient(pos, mass, bpos, bmass, h, cfg.rho0,
+                            cfg.rho_boundary)
+        vel = vel + surface_accel(pos, mass, cg, h, cfg.rho0,
+                                  cfg.surface_tension, cfg.air_pressure) * dt
+    vel = vel + dt * np.asarray(cfg.gravity)
+
+    pos_last = pos.copy()
+    pos, vel = enforce_boundary(pos + dt * vel, vel, space)
+    return pos, vel, rho, pos_last, it
+
+
+def pbd_project_binned(pos, mass, bpos, bmass, cfg, n_iter,
+                       rebin_moving: bool):
+    """The PBD projection loop with GRID-BINNED candidate masks, float64 —
+    isolates the one documented fidelity divergence (PARITY.md #2): the
+    reference recomputes particle i's 27-cell stencil from its *moving*
+    position every iteration against cellStart ranges sorted at step start
+    (src/PBDSolver.cu:154-156 — ``make_int3(posFluid[i] / cellLength)``
+    inside computeDensityLambda_CUDA), while this framework keeps the
+    start-of-step cell assignment for both sides of every pair.
+
+    ``rebin_moving=True`` reproduces the reference's choice,
+    ``rebin_moving=False`` this framework's. j-candidacy always uses the
+    start-of-step cell (the sorted ranges are static in both designs).
+    Returns the projected positions after ``n_iter`` iterations."""
+    pos = pos.astype(np.float64)
+    space = np.asarray(cfg.space_size)
+    h, cl = cfg.radius, cfg.cell_length
+
+    cell_j = np.floor(pos / cl).astype(np.int64)        # start-of-step
+    bcell = np.floor(bpos / cl).astype(np.int64)
+
+    def masks(p):
+        ci = np.floor(p / cl).astype(np.int64) if rebin_moving else cell_j
+        mf = (np.abs(ci[:, None, :] - cell_j[None, :, :]) <= 1).all(-1)
+        mb = (np.abs(ci[:, None, :] - bcell[None, :, :]) <= 1).all(-1)
+        return mf, mb
+
+    for _ in range(n_iter):
+        mf, mb = masks(pos)
+        # density + lambda (src/PBDSolver.cu:127-168) under the masks
+        relf, rf = _rel(pos, pos)
+        relb, rb = _rel(pos, bpos)
+        wf = w_cubic(rf, h) * mf
+        wb = w_cubic(rb, h) * mb
+        rho = wf @ mass + wb @ bmass
+        gf = -mass[None, :, None] * grad_w_cubic(relf, h) / cfg.rho0 \
+            * mf[..., None]
+        gb = -bmass[None, :, None] * grad_w_cubic(relb, h) / cfg.rho0 \
+            * mb[..., None]
+        gsum = -(gf.sum(1) + gb.sum(1))
+        slam = (gf * gf).sum(-1).sum(1) + (gb * gb).sum(-1).sum(1)
+        lam = np.where(
+            rho > cfg.rho0,
+            -(rho / cfg.rho0 - 1.0) / ((gsum * gsum).sum(-1) + slam + EPS),
+            0.0) * cfg.pbd_relaxation
+        # delta-pos (src/PBDSolver.cu:170-210) under the same masks
+        gwf = grad_w_cubic(relf, h) * mf[..., None]
+        gwb = grad_w_cubic(relb, h) * mb[..., None]
+        dp = np.einsum("ij,ijk->ik",
+                       mass[None, :] * (lam[:, None] + lam[None, :]), gwf)
+        dp += np.einsum("ij,ijk->ik", bmass[None, :] * lam[:, None], gwb)
+        pos = np.clip(pos + dp / cfg.rho0, 0.0 * space, 0.99 * space)
+    return pos
+
+
 # -- full WCSPH step (src/BasicSPHSolver.cu:237-260) -------------------
 
 def enforce_boundary(pos, vel, space):
