@@ -10,6 +10,7 @@ is ONE compiled XLA program.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -19,6 +20,7 @@ import numpy as np
 
 from .config import SimConfig, dam_break_config
 from .models import common, dfsph, pbd, wcsph
+from .parallel import mesh as _meshmod
 from .state import FluidState, dam_break_positions, make_fluid_state
 
 SOLVERS = {
@@ -61,7 +63,14 @@ class Simulation:
         donate: bool = True,
         nan_rollback: bool = False,
         auto_capacity: bool = True,
+        mesh: Optional[Any] = None,
     ):
+        # multi-chip: pass a jax.sharding.Mesh (or construct the Simulation
+        # inside a parallel.spatial_sharding(mesh) context — the ambient
+        # mesh is adopted). Every trace/compile then runs under the mesh:
+        # the cell grid is x-slab-sharded (stencil slices become ICI halo
+        # exchanges) and the (N,) particle state is sharded along N.
+        self.mesh = mesh if mesh is not None else _meshmod.current_mesh()
         # failure detection/recovery (SURVEY.md §5 — absent in the
         # reference): when enabled, a step producing non-finite state is
         # rolled back and raises FloatingPointError
@@ -78,6 +87,21 @@ class Simulation:
             fluid_pos = dam_break_positions(self.cfg)
         self.state = make_fluid_state(np.asarray(fluid_pos), self.cfg)
         self.carry = self._solver.init_carry(self.state)
+        if self.mesh is not None:
+            # place the (N,) state sharded along N from the start — device
+            # memory scales 1/devices instead of starting replicated (the
+            # step's internal shard_particles constraints keep it that way)
+            from jax.sharding import NamedSharding, PartitionSpec
+            nd = int(np.prod(list(self.mesh.shape.values())))
+            if self.state.n % nd == 0:
+                npart = NamedSharding(self.mesh, PartitionSpec(_meshmod.AXIS))
+
+                def _put(a):
+                    return (jax.device_put(a, npart)
+                            if getattr(a, "ndim", 0) >= 1 else a)
+
+                self.state = jax.tree_util.tree_map(_put, self.state)
+                self.carry = jax.tree_util.tree_map(_put, self.carry)
         self.metrics: Dict[str, Any] = {}
         self.frame = 0
         self.total_ms = 0.0
@@ -90,6 +114,15 @@ class Simulation:
         if engine not in valid:
             raise ValueError(
                 f"unknown engine {engine!r}; choose from {valid}")
+        if self.mesh is not None and engine in ("dense", "xlab"):
+            # The sliding box is a single-chip optimisation (it trims the
+            # empty-cell tax via a dynamically-positioned sub-grid); under
+            # spatial sharding its traced-origin dynamic slices defeat
+            # GSPMD's static slab partitioning, and at the multi-chip
+            # scale (1M particles fill most of the domain) the box win
+            # vanishes anyway. The full-domain flat grid is the
+            # sharded-safe layout, so it is the mesh default.
+            engine = "xla"
         self.engine = engine
         self._donate = donate
         # no-drop guarantee: only the dense engines can swap K cheaply
@@ -113,7 +146,7 @@ class Simulation:
         self._ctor_args = dict(
             fluid_pos=None if fluid_pos is None else np.asarray(fluid_pos),
             boundary_pos=boundary_pos, warmup=warmup, donate=donate,
-            auto_capacity=auto_capacity)
+            auto_capacity=auto_capacity, mesh=self.mesh)
         self._fetch_ms: Optional[float] = None
         self._build_step()
 
@@ -146,6 +179,13 @@ class Simulation:
         self._build_step_uncached()
         cache[key] = (self._raw_step, self._jit_step, self._multi_cache)
 
+    def _mesh_ctx(self):
+        """Context under which every trace/compile/execute runs — the
+        spatial-sharding mesh when multi-chip, else a no-op."""
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        return _meshmod.spatial_sharding(self.mesh)
+
     def _build_step_uncached(self) -> None:
         engine = self.engine
         cfg_ = self.cfg.replace(max_per_cell=self.max_per_cell)
@@ -177,6 +217,9 @@ class Simulation:
             exec_engine = "xlab" if engine == "dense" else engine
             # the boundary-side scene tensors depend only on kb, not on
             # the fluid K — rebuilds on a K bump reuse them
+            # built OUTSIDE the mesh context: eager sharding constraints
+            # reject non-divisible axes; the jitted step's internal
+            # constraints shard the scene at trace time instead
             if not hasattr(self, "scene"):
                 self.scene = dense_step.build_dense_scene(
                     cfg_, b_pos, kb, engine=exec_engine)
@@ -364,7 +407,11 @@ class Simulation:
         times instead of killing the simulation."""
         for attempt in range(3):
             try:
-                return fn()(self.state, self.carry, self.scene, *args)
+                with self._mesh_ctx():
+                    # the mesh context must span the first invocation of a
+                    # jitted step: constrain_axis/shard_particles read the
+                    # ambient mesh at TRACE time
+                    return fn()(self.state, self.carry, self.scene, *args)
             except jax.errors.JaxRuntimeError as e:
                 msg = str(e)
                 # narrow match: only compile-time backend crashes trigger

@@ -133,6 +133,58 @@ def test_sharded_particle_state_100k_matches():
                                np.asarray(ref.density), rtol=1e-5)
 
 
+def test_simulation_under_mesh_matches_single(setup):
+    """The ORCHESTRATOR-level multi-chip path: a Simulation constructed
+    with a mesh (default engine — auto-switched to the sharded-safe
+    full-domain grid) must track a single-device default-engine Simulation
+    through several frames, with auto-capacity live on both. This is the
+    exact recipe README's 1M multi-chip section prescribes."""
+    cfg, _, _ = setup
+    pos = small_block_pos()
+    mesh = parallel.make_mesh(8)
+    sim_m = cfp.Simulation(solver="dfsph", cfg=cfg, fluid_pos=pos,
+                           warmup=False, mesh=mesh)
+    assert sim_m.engine == "xla", "mesh must select the sharded-safe engine"
+    sim_1 = cfp.Simulation(solver="dfsph", cfg=cfg.replace(engine="xla"),
+                           fluid_pos=pos, warmup=False)
+    for _ in range(3):
+        sim_m.step()
+        sim_1.step()
+    # identical program modulo GSPMD partitioning: reductions stay on the
+    # unsharded K/offset axes, so results match to float tolerance
+    np.testing.assert_allclose(np.asarray(sim_m.state.pos),
+                               np.asarray(sim_1.state.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sim_m.state.vel),
+                               np.asarray(sim_1.state.vel), atol=1e-4)
+    assert int(np.asarray(sim_m.metrics["grid_overflow"])) == 0
+    # the particle state comes back sharded, not replicated
+    assert not sim_m.state.pos.sharding.is_fully_replicated
+
+
+def test_simulation_under_mesh_run_scan_and_capacity(setup):
+    """run_scan (the benchmark path) under a mesh: several chained-scan
+    chunks execute, auto-capacity machinery stays live (overflow fetch,
+    downshift votes), and the trajectory stays finite/contained."""
+    cfg, _, _ = setup
+    mesh = parallel.make_mesh(8)
+    sim = cfp.Simulation(solver="wcsph", cfg=cfg,
+                         fluid_pos=small_block_pos(), warmup=False,
+                         mesh=mesh)
+    for _ in range(3):
+        sim.run_scan(4)
+    p = np.asarray(sim.state.pos)
+    assert np.isfinite(p).all()
+    assert (p >= 0).all() and (p <= 0.99 * np.asarray(cfg.space_size)).all()
+    assert sim.dropped_frames == 0
+
+
+def small_block_pos():
+    s = 0.02
+    return np.array(
+        [(0.3 + s * i, 0.2 + s * j, 0.3 + s * k)
+         for i in range(6) for j in range(6) for k in range(6)], np.float32)
+
+
 def test_sharded_dense_engine_matches(setup):
     """The dense engine under x-slab spatial sharding must match the
     unsharded run exactly (GSPMD halo exchange over the ghosted grid)."""
