@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import SimConfig
-from ..parallel.mesh import constrain_axis
+from ..parallel.mesh import constrain_axis, current_mesh
 from . import kernels as kn
 from .dense import DenseDims
 
@@ -295,11 +295,13 @@ def column_pass_xla(
     i_flat = jax.lax.slice_in_dim(fl, p, p + w, axis=2)
     has_b = bd is not None
 
-    offs = jnp.asarray(_flat_offsets(dims) + p)   # slice starts in [0, 2P]
+    offs_np = _flat_offsets(dims) + p             # slice starts in [0, 2P]
+    unroll = current_mesh() is not None
+    offs = jnp.asarray(offs_np)
 
     def offset_slice(dense, o, kk):
-        return jax.lax.dynamic_slice(
-            dense, (0, 0, offs[o]), (dense.shape[0], kk, w))
+        start = (0, 0, int(offs_np[o]) if unroll else offs[o])
+        return jax.lax.dynamic_slice(dense, start, (dense.shape[0], kk, w))
 
     def fold(o, acc):
         j_o = offset_slice(fl, o, k)
@@ -307,8 +309,16 @@ def column_pass_xla(
         return acc + body(i_flat, j_o, jb_o)
 
     with _axes(_LANE):
-        acc = jax.lax.fori_loop(
-            0, 27, fold, jnp.zeros((n_out, k, w), F32))
+        acc = jnp.zeros((n_out, k, w), F32)
+        if unroll:
+            # static slice starts: under a mesh, GSPMD turns each offset
+            # slice into a nearest-neighbor halo exchange over ICI; a
+            # TRACED start would force it to all-gather the whole grid
+            # tensor instead (measured 160 MB/pass at the 1M scale)
+            for o in range(27):
+                acc = fold(o, acc)
+        else:
+            acc = jax.lax.fori_loop(0, 27, fold, acc)
     return constrain_axis(
         jnp.pad(acc, ((0, 0), (0, 0), (p, p))), 2)
 
@@ -340,11 +350,14 @@ def column_pass_xla_sym(
     i_flat = jax.lax.slice_in_dim(fl, p, p + w, axis=2)
     has_b = bd is not None and bd_terms is not None
 
-    offd = jnp.asarray(_flat_offsets(dims))      # signed displacements
+    offd_np = _flat_offsets(dims)                # signed displacements
+    unroll = current_mesh() is not None
+    offd = jnp.asarray(offd_np)
 
     def slc(dense, o, kk):
+        start = int(offd_np[o]) + p if unroll else offd[o] + p
         return jax.lax.dynamic_slice(
-            dense, (0, 0, offd[o] + p), (dense.shape[0], kk, w))
+            dense, (0, 0, start), (dense.shape[0], kk, w))
 
     with _axes(_LANE):
         # self offset: i-reduction over the full within-cell block
@@ -358,14 +371,23 @@ def column_pass_xla_sym(
             # j-side partials: the value computed at i-cell c belongs to
             # j-cell c+d -> shift by +d = slice the P-padded array at P-d
             ojp = jnp.pad(out_j, ((0, 0), (0, 0), (p, p)))
+            start_j = p - (int(offd_np[o]) if unroll else offd[o])
             acc = acc + jax.lax.dynamic_slice(
-                ojp, (0, 0, p - offd[o]), acc.shape)
+                ojp, (0, 0, start_j), acc.shape)
             if has_b:
                 acc = acc + (bd_terms(i_flat, slc(bd, o, dims_b.k))
                              + bd_terms(i_flat, slc(bd, 26 - o, dims_b.k)))
             return acc
 
-        acc = jax.lax.fori_loop(0, 13, fold, acc)
+        if unroll:
+            # static slice starts: under a mesh each offset slice becomes
+            # a nearest-neighbor halo exchange (collective-permute) over
+            # ICI; a traced start forces GSPMD to all-gather the whole
+            # grid tensor per pass (measured 160 MB at the 1M scale)
+            for o in range(13):
+                acc = fold(o, acc)
+        else:
+            acc = jax.lax.fori_loop(0, 13, fold, acc)
     return constrain_axis(
         jnp.pad(acc, ((0, 0), (0, 0), (p, p))), 2)
 

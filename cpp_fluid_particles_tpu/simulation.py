@@ -114,15 +114,14 @@ class Simulation:
         if engine not in valid:
             raise ValueError(
                 f"unknown engine {engine!r}; choose from {valid}")
-        if self.mesh is not None and engine in ("dense", "xlab"):
-            # The sliding box is a single-chip optimisation (it trims the
-            # empty-cell tax via a dynamically-positioned sub-grid); under
-            # spatial sharding its traced-origin dynamic slices defeat
-            # GSPMD's static slab partitioning, and at the multi-chip
-            # scale (1M particles fill most of the domain) the box win
-            # vanishes anyway. The full-domain flat grid is the
-            # sharded-safe layout, so it is the mesh default.
-            engine = "xla"
+        # Under a mesh the DEFAULT engine stays the sliding box ('xlab'):
+        # with the executors' stencil slices at static offsets (unrolled
+        # when a mesh is active, ops/pallas_passes.py), GSPMD partitions
+        # the box's flat cell axis into x-slabs and the offset slices
+        # lower to nearest-neighbor collective-permute halos — verified
+        # bitwise-equal to the single-device run (tests/test_parallel.py)
+        # — while keeping the box's empty-cell trim (~4.6x fewer pass
+        # cells than the full domain at the 1M scale, exp/scaling_analysis).
         self.engine = engine
         self._donate = donate
         # no-drop guarantee: only the dense engines can swap K cheaply

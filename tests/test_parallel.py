@@ -135,8 +135,9 @@ def test_sharded_particle_state_100k_matches():
 
 def test_simulation_under_mesh_matches_single(setup):
     """The ORCHESTRATOR-level multi-chip path: a Simulation constructed
-    with a mesh (default engine — auto-switched to the sharded-safe
-    full-domain grid) must track a single-device default-engine Simulation
+    with a mesh, running the DEFAULT engine (the sliding box — its stencil
+    slices unroll to static offsets under a mesh, so GSPMD lowers them to
+    halo exchanges), must track a single-device default-engine Simulation
     through several frames, with auto-capacity live on both. This is the
     exact recipe README's 1M multi-chip section prescribes."""
     cfg, _, _ = setup
@@ -144,9 +145,9 @@ def test_simulation_under_mesh_matches_single(setup):
     mesh = parallel.make_mesh(8)
     sim_m = cfp.Simulation(solver="dfsph", cfg=cfg, fluid_pos=pos,
                            warmup=False, mesh=mesh)
-    assert sim_m.engine == "xla", "mesh must select the sharded-safe engine"
-    sim_1 = cfp.Simulation(solver="dfsph", cfg=cfg.replace(engine="xla"),
-                           fluid_pos=pos, warmup=False)
+    assert sim_m.engine == "dense", "mesh keeps the default (box) engine"
+    sim_1 = cfp.Simulation(solver="dfsph", cfg=cfg, fluid_pos=pos,
+                           warmup=False)
     for _ in range(3):
         sim_m.step()
         sim_1.step()
@@ -159,6 +160,38 @@ def test_simulation_under_mesh_matches_single(setup):
     assert int(np.asarray(sim_m.metrics["grid_overflow"])) == 0
     # the particle state comes back sharded, not replicated
     assert not sim_m.state.pos.sharding.is_fully_replicated
+
+
+def test_sharded_box_engine_matches_bitwise(setup):
+    """The DEFAULT (sliding-box) executor under the 8-device mesh is
+    bitwise-identical to the single-device run: the box's flat cell axis
+    is x-slab-sharded, its static-offset stencil slices become
+    collective-permute halos, and the boundary window (a dynamic slice of
+    replicated static data at the traced box origin) needs no gather."""
+    from cpp_fluid_particles_tpu.models import dense_step as D
+    from cpp_fluid_particles_tpu.ops import dense as dn
+    from cpp_fluid_particles_tpu.state import boundary_positions
+
+    cfg, _, state = setup
+    bpos = boundary_positions(cfg)
+    kb = D.boundary_k(bpos, cfg)
+    dims = dn.dims_for(cfg)
+    dims_b = dn.dims_for(cfg, kb)
+    scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xlab")
+    dt = jnp.float32(cfg.dt)
+    box = (12, 12, 12)
+
+    def step(st, sd, d):
+        s2, _, m = D.wcsph_step(st, (), sd, cfg, d, dims, dims_b,
+                                engine="xlab", box=box)
+        return s2, m["box_overflow"]
+
+    ref, ov = jax.jit(step)(state, scene_d, dt)
+    assert int(np.asarray(ov)) == 0
+    with parallel.spatial_sharding(parallel.make_mesh(8)):
+        sh, _ = jax.jit(step)(state, scene_d, dt)
+    np.testing.assert_array_equal(np.asarray(sh.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(sh.vel), np.asarray(ref.vel))
 
 
 def test_simulation_under_mesh_run_scan_and_capacity(setup):
