@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import cpp_fluid_particles_tpu as cfp
 from cpp_fluid_particles_tpu.models import common as C, dense_step as D
 from cpp_fluid_particles_tpu.models import dfsph, pbd, wcsph

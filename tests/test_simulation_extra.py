@@ -23,6 +23,7 @@ def test_nan_rollback_recovers_state():
     sim.step()
 
 
+@pytest.mark.slow
 def test_scaled_dam_scene_smoke():
     cfg, pos = cfp.scaled_dam_scene(800)
     assert abs(pos.shape[0] - 800) < 300
@@ -35,6 +36,7 @@ def test_scaled_dam_scene_smoke():
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
 
 
+@pytest.mark.slow
 def test_auto_capacity_no_drop():
     """A frame whose grid build would drop particles (occupancy beyond
     max_per_cell) must re-run at a higher K — the no-drop guarantee the
@@ -58,6 +60,7 @@ def test_auto_capacity_no_drop():
                                   np.asarray(sim2.state.pos))
 
 
+@pytest.mark.slow
 def test_auto_capacity_in_run_scan():
     """Overflow anywhere inside a scanned chunk (not just its last frame)
     triggers the capacity retry."""
@@ -72,6 +75,7 @@ def test_auto_capacity_in_run_scan():
     assert np.isfinite(np.asarray(sim.state.pos)).all()
 
 
+@pytest.mark.slow
 def test_auto_capacity_box_bound():
     """The xlab engine's sliding-box size escalates like K: force it
     below the scene's extents and the next step must detect box_overflow,

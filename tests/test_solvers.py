@@ -21,6 +21,7 @@ def scene():
     return C.build_scene(CFG)
 
 
+@pytest.mark.slow
 def test_wcsph_golden_vs_brute_force(scene):
     """5 full WCSPH frames must track the all-pairs float64 reference."""
     pos0 = small_block()
@@ -43,6 +44,7 @@ def test_wcsph_golden_vs_brute_force(scene):
                                rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dfsph_golden_two_steps_warm_start(scene):
     """Two full DFSPH frames vs the all-pairs float64 oracle. The second
     frame exercises the warm start: the carried stiffness must be applied
@@ -80,6 +82,7 @@ def test_dfsph_golden_two_steps_warm_start(scene):
         atol=np.abs(rwarm).max() * 1e-3 + 1e-12)
 
 
+@pytest.mark.slow
 def test_pbd_golden_vs_brute_force(scene):
     """Three full PBD frames vs the all-pairs float64 oracle
     (src/PBDSolver.cu:34-73). The block rests on the floor so the density
@@ -114,6 +117,7 @@ def test_pbd_golden_vs_brute_force(scene):
                                rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pbd_rebinning_divergence_quantified(scene):
     """Quantifies PARITY.md #2 (the one PBD fidelity divergence): the
     reference re-bins particle i's stencil from its MOVING position each
@@ -169,6 +173,7 @@ def test_pbd_rebinning_divergence_quantified(scene):
         f"re-binning divergence {div.max()/sp:.2f} sp")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["wcsph", "pbd", "dfsph"])
 def test_invariants_over_40_steps(solver):
     sim = cfp.Simulation(solver=solver, cfg=CFG, fluid_pos=small_block(),
@@ -210,6 +215,7 @@ def test_dfsph_iteration_bounds_and_errors():
                 CFG.dfsph_density_threshold * n * CFG.rho0 * 1.001)
 
 
+@pytest.mark.slow
 def test_dfsph_divergence_warm_start_carries_and_converges():
     """The divergence warm start (PARITY.md #7) carries a non-trivial
     stiffness once the block settles, and the warm-started solve still
@@ -237,6 +243,7 @@ def test_dfsph_divergence_warm_start_carries_and_converges():
     assert np.isfinite(np.asarray(sim.state.pos)).all()
 
 
+@pytest.mark.slow
 def test_box_shrinks_after_calm():
     """The sliding box escalates for a spread-out transient and shrinks
     back (with hysteresis) once the fluid re-concentrates."""
