@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-in", default=None)
     p.add_argument("--interactive", action="store_true",
                    help="read key commands from stdin")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="real-time browser viewer on this port (the GLUT "
+                        "window equivalent; 0 = auto-pick)")
     p.add_argument("--engine", default=None,
                    help="dense|xlab|xla|xla27|pallas|interpret|reference")
     p.add_argument("--quiet", action="store_true")
@@ -198,8 +201,24 @@ def run_interactive(args) -> int:
                 return 0
 
 
+def run_serve(args, frames_budget=None) -> int:
+    """Browser-window mode (src/main.cpp:354-391 equivalent): the
+    simulation loop on this thread, an HTTP viewer thread serving frames,
+    stats, and key events (utils/viewer.py)."""
+    from .utils import viewer
+    cfg = dam_break_config()
+    if args.engine:
+        cfg = cfg.replace(engine=args.engine)
+    sim = Simulation(solver=args.solver, cfg=cfg)
+    return viewer.serve_loop(sim, args, make_camera, draw_cube_edges,
+                             render, images, StepTimer, args.serve,
+                             frames_budget=frames_budget)
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.serve is not None:
+        return run_serve(args)
     if args.interactive:
         return run_interactive(args)
     return run_headless(args)

@@ -166,7 +166,10 @@ class Simulation:
         would recompile; revisiting a config this way costs nothing."""
         if self.box is None and self.engine in ("dense", "xlab"):
             self.box = self._initial_box(self.cfg)
-        key = (self.engine, self.max_per_cell, self.box)
+        # solver_name is part of the key: restart() re-__init__s the SAME
+        # object (keys 1/2/3 switch solvers), so the cache outlives a
+        # solver change and must not serve another solver's compiled step
+        key = (self.solver_name, self.engine, self.max_per_cell, self.box)
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}

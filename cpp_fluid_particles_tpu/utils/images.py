@@ -24,8 +24,8 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
 # PNG
 # ----------------------------------------------------------------------
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: (H, W, 3) float in [0,1] or uint8."""
+def png_bytes(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3) float in [0,1] or uint8 as PNG bytes."""
     arr = img if img.dtype == np.uint8 else to_uint8(img)
     h, w, _ = arr.shape
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
@@ -35,10 +35,14 @@ def write_png(path: str, img: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: (H, W, 3) float in [0,1] or uint8."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(png_bytes(img))
 
 
 # ----------------------------------------------------------------------

