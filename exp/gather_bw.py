@@ -82,5 +82,50 @@ def main():
               f"{t:8.3f} ms  {TOTAL * 4 / t / 1e6:6.0f} GB/s", flush=True)
 
 
+def take_variants():
+    """jnp.take-style gathers (XLA GatherOp via indexing) — read_box's 1M
+    gather measures ~10 GB/s, 250x faster than the vmapped-dynamic_slice
+    lowering above; quantify take at element / window / shared-row
+    granularities."""
+    src = jnp.arange(SRC, dtype=F32)
+    rng = np.random.default_rng(1)
+
+    # single-element take, 16M random indices
+    idx = jnp.asarray(rng.integers(0, SRC, size=TOTAL, dtype=np.int64)
+                      .astype(np.int32))
+    t = time_ms(lambda a, c: a[(idx + jnp.int32(c * 0)).astype(jnp.int32)],
+                src)
+    print(f"take single x {TOTAL}: {t:8.3f} ms  "
+          f"{TOTAL * 4 / t / 1e6:6.0f} GB/s", flush=True)
+
+    # windowed take: indices = starts[:,None] + iota(run), one big take
+    for run in (32, 128, 1024):
+        nidx = TOTAL // run
+        starts = jnp.asarray(
+            rng.integers(0, SRC - run, size=nidx, dtype=np.int64)
+            .astype(np.int32))
+
+        def g(a, c, starts=starts, run=run):
+            st = (starts + jnp.int32(c * 0)).astype(jnp.int32)
+            ix = st[:, None] + jnp.arange(run, dtype=jnp.int32)[None, :]
+            return a[ix]
+
+        t = time_ms(g, src)
+        print(f"take window {run:5d} floats x {nidx:8d}: {t:8.3f} ms  "
+              f"{TOTAL * 4 / t / 1e6:6.0f} GB/s", flush=True)
+
+    # shared-index row take: (8, SRC/8)[:, idx] — the read_box pattern
+    src2 = src.reshape(8, SRC // 8)
+    idx2 = jnp.asarray(rng.integers(0, SRC // 8, size=TOTAL // 8,
+                                    dtype=np.int64).astype(np.int32))
+    t = time_ms(lambda a, c: a[:, (idx2 + jnp.int32(c * 0))
+                               .astype(jnp.int32)], src2)
+    print(f"take rows (8, n)[:, idx] x {TOTAL // 8}: {t:8.3f} ms  "
+          f"{TOTAL * 4 / t / 1e6:6.0f} GB/s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "take":
+        take_variants()
+    else:
+        main()
