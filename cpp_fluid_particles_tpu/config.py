@@ -87,6 +87,17 @@ class SimConfig:
     max_active_cells: int = 8192           # max fluid-occupied cells per step
     max_per_cell: int = 16                 # max fluid particles per cell
 
+    # Fluid masses are a uniform m0 fill in the reference
+    # (src/SPHSystem.cu:73, thrust::fill over sphM0); when True the dense
+    # fast path derives its grid mass row from slot occupancy (real slot
+    # -> m0, empty -> 0) instead of scattering state.mass — one fewer
+    # scatter row per step (the 1M-particle fill is per-element-cost
+    # bound, BENCHMARKS.md). Identical results while state.mass is the
+    # uniform m0 fill that make_fluid_state produces; set False when
+    # carrying custom per-particle fluid masses. The oracle engines and
+    # boundary masses always honor the stored arrays.
+    uniform_fluid_mass: bool = True
+
     # --- execution engine ---
     # "dense"     : resolves to "xlab"
     # "xlab"      : sliding-box lane-major grid (ops/box.py) — the flat

@@ -198,6 +198,15 @@ def _accel_clamp(a_d, cfg):
     return a_d * scale[None]
 
 
+def _uniform_mass_row(pos_d, cfg):
+    """Grid mass row derived from slot occupancy (cfg.uniform_fluid_mass):
+    real slots hold exactly the m0 a scattered uniform state.mass would,
+    empty slots the 0.0 fill value — bitwise what fill() produces, minus
+    one scatter row."""
+    return jnp.where(_real_slot(pos_d), jnp.float32(cfg.m0),
+                     jnp.float32(0.0))[None]
+
+
 def _grav(vel_d, cfg, dt):
     g = jnp.asarray(cfg.gravity, F32)
     return vel_d + dt * g.reshape((3,) + (1,) * (vel_d.ndim - 1))
@@ -239,12 +248,21 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
     lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
-    base = fill(
-        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
-         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]],
-        [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0],
-    )
-    pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
+    if cfg.uniform_fluid_mass:
+        base = fill(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]],
+            [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0],
+        )
+        pos_d, vel_d = base[0:3], base[3:6]
+        mass_d = _uniform_mass_row(pos_d, cfg)
+    else:
+        base = fill(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
+             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]],
+            [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0],
+        )
+        pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
     surface_on = (cfg.surface_tension > cfg.epsilon
                   or cfg.air_pressure > cfg.epsilon)
 
@@ -302,14 +320,25 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
-    base = fill(
-        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
-         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-         carry.warm_stiff, carry.div_warm],
-        [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
-    )
-    pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
-    warm_d, divwarm_d = base[7], base[8]
+    if cfg.uniform_fluid_mass:
+        base = fill(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+             carry.warm_stiff, carry.div_warm],
+            [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0],
+        )
+        pos_d, vel_d = base[0:3], base[3:6]
+        warm_d, divwarm_d = base[6], base[7]
+        mass_d = _uniform_mass_row(pos_d, cfg)
+    else:
+        base = fill(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
+             state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+             carry.warm_stiff, carry.div_warm],
+            [POS_PAD, POS_PAD, POS_PAD, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        )
+        pos_d, mass_d, vel_d = base[0:3], base[3:4], base[4:7]
+        warm_d, divwarm_d = base[7], base[8]
     pm = jnp.concatenate([pos_d, mass_d], 0)
 
     surface_on = (cfg.surface_tension > cfg.epsilon
@@ -446,12 +475,23 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
-    base = fill(
-        [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
-         carry.pos_last[:, 0], carry.pos_last[:, 1], carry.pos_last[:, 2]],
-        [POS_PAD, POS_PAD, POS_PAD, 0.0, POS_PAD, POS_PAD, POS_PAD],
-    )
-    pos_d, mass_d, plast_d = base[0:3], base[3:4], base[4:7]
+    if cfg.uniform_fluid_mass:
+        base = fill(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+             carry.pos_last[:, 0], carry.pos_last[:, 1],
+             carry.pos_last[:, 2]],
+            [POS_PAD, POS_PAD, POS_PAD, POS_PAD, POS_PAD, POS_PAD],
+        )
+        pos_d, plast_d = base[0:3], base[3:6]
+        mass_d = _uniform_mass_row(pos_d, cfg)
+    else:
+        base = fill(
+            [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
+             carry.pos_last[:, 0], carry.pos_last[:, 1],
+             carry.pos_last[:, 2]],
+            [POS_PAD, POS_PAD, POS_PAD, 0.0, POS_PAD, POS_PAD, POS_PAD],
+        )
+        pos_d, mass_d, plast_d = base[0:3], base[3:4], base[4:7]
 
     # --- projection (src/PBDSolver.cu:225-258). The reference runs a fixed
     # maxIter=20 iterations; here the loop exits exactly when an iteration's

@@ -392,6 +392,109 @@ def column_pass_xla_sym(
         jnp.pad(acc, ((0, 0), (0, 0), (p, p))), 2)
 
 
+CHUNK_TARGET_MB = 14.0     # per-slab fluid pair-block budget when chunking
+CHUNK_MIN_PAIR_MB = 48.0   # below this, the unchunked executor runs
+CHUNK_OVERRIDE: Optional[int] = None   # tests/experiments: force a slab count
+CHUNK_BIAS = 0   # added to auto slab counts > 1; Simulation bumps this to
+                 # dodge shape-specific XLA backend-compiler crashes (a
+                 # different slab split is cost-neutral, unlike a K bump)
+
+
+def _auto_nchunk(k: int, w: int) -> int:
+    """Slab count that keeps each slab's fluid pair block (K*K*w_slab f32)
+    small enough for XLA's fusions to stay VMEM-resident. The 20k dam's
+    boxes (pair blocks 7-38 MB) measure at the VPU floor unchunked and
+    stay on that proven path (CHUNK_MIN_PAIR_MB); the 1M box's ~140 MB
+    pair blocks make the unchunked traversal spill pair-block temporaries
+    to HBM (memory_analysis: 225-340 MB temps) or outright crash XLA's
+    alternate-memory assignment — chunked to ~14 MB slabs the measured
+    1M traversals drop from 20/64 ms to 11.6/24 ms (1-/3-output,
+    exp/chunk_sweep.py), at the padded-slot stream+VPU floor."""
+    pair_mb = k * k * w * 4 / 1e6
+    if pair_mb <= CHUNK_MIN_PAIR_MB:
+        return 1
+    return max(2, int(np.ceil(pair_mb / CHUNK_TARGET_MB)) + CHUNK_BIAS)
+
+
+def column_pass_xla_sym_chunked(
+    fluid_terms: Callable,
+    bd_terms: Optional[Callable],
+    fl: jnp.ndarray,                  # (Fi, K, G) lane-major flat ghosted
+    dims: DenseDims,
+    n_out: int,
+    bd: Optional[jnp.ndarray] = None,
+    dims_b: Optional[DenseDims] = None,
+    nchunk: int = 2,
+) -> jnp.ndarray:
+    """Slab-chunked symmetric half-stencil executor (large-grid variant of
+    ``column_pass_xla_sym``; single-chip only — under a mesh the unchunked
+    executor's offset slices are what GSPMD turns into ICI halo exchanges).
+
+    The interior cell axis is split into ``nchunk`` x-slabs. Each slab
+    processes its input window with a flat_p ghost margin on both sides:
+    i-side reductions land in the slab core; the Newton's-third-law j-side
+    partials of offset d land at core+d and are kept in a (core + 2p) halo
+    buffer instead of being cropped; slabs overlap-add into the full grid.
+    Every directed pair is evaluated in exactly one slab (the one owning
+    the i cell; half-stencil offsets all have negative flat displacement),
+    so the result equals the unchunked executor up to f32 summation order.
+    Purpose: per-slab pair blocks sized to VMEM so XLA's reduction fusions
+    never materialise pair-block temporaries in HBM (see BENCHMARKS.md,
+    the 1M regime)."""
+    fi, k = fl.shape[0], fl.shape[1]
+    p = dims.flat_p
+    g = dims.g
+    w = g - 2 * p
+    has_b = bd is not None and bd_terms is not None
+    if has_b:
+        assert dims_b.flat_p == p, "boundary box must match fluid box"
+    offd_np = _flat_offsets(dims)
+    offd = jnp.asarray(offd_np)
+
+    bounds = np.linspace(0, w, nchunk + 1).round().astype(int)
+    acc = jnp.zeros((n_out, k, g), F32)
+    with _axes(_LANE):
+        for s in range(nchunk):
+            a, b2 = int(bounds[s]), int(bounds[s + 1])
+            cs = b2 - a
+            slab = jax.lax.slice_in_dim(fl, a, a + cs + 2 * p, axis=2)
+            i_s = jax.lax.slice_in_dim(slab, p, p + cs, axis=2)
+            bslab = (jax.lax.slice_in_dim(bd, a, a + cs + 2 * p, axis=2)
+                     if has_b else None)
+
+            def slc(dense, start, kk):
+                return jax.lax.dynamic_slice(
+                    dense, (0, 0, start), (dense.shape[0], kk, cs))
+
+            core0 = fluid_terms(i_s, i_s, False)[0]
+            if has_b:
+                core0 = core0 + bd_terms(i_s, slc(bslab, p, dims_b.k))
+
+            def fold(o, carry):
+                core, halo = carry
+                d = offd[o]
+                out_i, out_j = fluid_terms(i_s, slc(slab, p + d, k), True)
+                core = core + out_i
+                # out_j[c] belongs to cell c+d; in halo coords ([-p, cs+p)
+                # mapped to [0, cs+2p)) that is p+d+c — i.e. halo +=
+                # pad(out_j, (p+d, p-d)), expressed as a 2p-pad + slice so
+                # the traced d stays a dynamic-slice start:
+                ojp = jnp.pad(out_j, ((0, 0), (0, 0), (2 * p, 2 * p)))
+                halo = halo + jax.lax.dynamic_slice(
+                    ojp, (0, 0, p - d), halo.shape)
+                if has_b:
+                    core = (core
+                            + bd_terms(i_s, slc(bslab, p + d, dims_b.k))
+                            + bd_terms(i_s, slc(bslab, p - d, dims_b.k)))
+                return core, halo
+
+            halo0 = jnp.zeros((n_out, k, cs + 2 * p), F32)
+            core, halo = jax.lax.fori_loop(0, 13, fold, (core0, halo0))
+            buf = halo.at[:, :, p:p + cs].add(core)
+            acc = acc.at[:, :, a:a + cs + 2 * p].add(buf)
+    return acc
+
+
 def _std_body(fluid_terms, bd_terms):
     """Combine term functions into the (i, j, jb) body used by the Pallas
     and 27-offset executors."""
@@ -423,6 +526,11 @@ def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
     if engine == "xlab":
         engine = "xla"          # the sym executor runs the box grid as-is
     if engine == "xla":
+        nchunk = (CHUNK_OVERRIDE if CHUNK_OVERRIDE is not None
+                  else _auto_nchunk(fl.shape[1], dims.g - 2 * dims.flat_p))
+        if nchunk > 1 and current_mesh() is None:
+            return column_pass_xla_sym_chunked(
+                fluid_terms, bd_terms, fl, dims, n_out, bd, dims_b, nchunk)
         return column_pass_xla_sym(fluid_terms, bd_terms, fl, dims, n_out,
                                    bd, dims_b)
     if engine == "xla27":

@@ -168,8 +168,12 @@ class Simulation:
             self.box = self._initial_box(self.cfg)
         # solver_name is part of the key: restart() re-__init__s the SAME
         # object (keys 1/2/3 switch solvers), so the cache outlives a
-        # solver change and must not serve another solver's compiled step
-        key = (self.solver_name, self.engine, self.max_per_cell, self.box)
+        # solver change and must not serve another solver's compiled step.
+        # CHUNK_BIAS is part of the key: the compile-crash retry bumps it
+        # to get a DIFFERENT program for the same (K, box).
+        from .ops import pallas_passes as _pp
+        key = (self.solver_name, self.engine, self.max_per_cell, self.box,
+               _pp.CHUNK_BIAS)
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}
@@ -426,16 +430,42 @@ class Simulation:
                                            "memory_space_assignment",
                                            "memory space assignment"))))
                 if (not compile_crash or not self.auto_capacity
-                        or self.max_per_cell + 2 > self.K_MAX
                         or attempt == 2):
                     raise
                 import warnings
-                warnings.warn(
-                    f"XLA backend compiler crashed on config "
-                    f"{self.config_key}; retrying at K+2 "
-                    f"({type(e).__name__}: {msg.splitlines()[0][:120]})")
-                self.max_per_cell += 2
+                from .ops import pallas_passes as _pp
+                w = self._chunk_w()
+                if _pp._auto_nchunk(self.max_per_cell, w) > 1:
+                    # chunked regime: a different slab split is a
+                    # different program shape at identical cost — try
+                    # that before paying for a K bump
+                    _pp.CHUNK_BIAS += 1
+                    warnings.warn(
+                        f"XLA backend compiler crashed on config "
+                        f"{self.config_key}; retrying with chunk bias "
+                        f"+{_pp.CHUNK_BIAS} ({type(e).__name__}: "
+                        f"{msg.splitlines()[0][:120]})")
+                elif self.max_per_cell + 2 <= self.K_MAX:
+                    warnings.warn(
+                        f"XLA backend compiler crashed on config "
+                        f"{self.config_key}; retrying at K+2 "
+                        f"({type(e).__name__}: {msg.splitlines()[0][:120]})")
+                    self.max_per_cell += 2
+                else:
+                    raise
                 self._build_step()
+
+    def _chunk_w(self) -> int:
+        """Interior flat-cell-axis width of the active grid (the chunked
+        executor's slab axis) for the current config."""
+        from .ops.dense import DenseDims
+        if self.engine == "xlab" and self.box is not None:
+            d = DenseDims(self.box[0], self.box[1], self.box[2],
+                          self.max_per_cell)
+        else:
+            cx, cy, cz = self.cfg.cell_size
+            d = DenseDims(cx, cy, cz, self.max_per_cell)
+        return d.g - 2 * d.flat_p
 
     def _warn_dropping(self, n_frames: int, ov_k: int, ov_b: int,
                        occ: int) -> None:
