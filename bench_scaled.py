@@ -26,6 +26,12 @@ def main() -> int:
     import jax.numpy as jnp
     import cpp_fluid_particles_tpu as cfp
 
+    # persistent XLA compile cache shared with bench.py (untracked)
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__import__("pathlib").Path(__file__).parent
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     cfg, pos = cfp.scaled_dam_scene(n_target)
     t0 = time.perf_counter()
     sim = cfp.Simulation(solver=solver, cfg=cfg, fluid_pos=pos,
