@@ -81,6 +81,22 @@ class SimConfig:
     # SPlisHSPlasH-style criterion; measured on the dam break it cuts
     # post-impact iterations substantially at ~1% residual compression.
     pbd_density_tolerance: float = 0.0
+    # Chebyshev semi-iterative acceleration of the Jacobi-style solver
+    # loops ([2015][TOG][Wang] "A Chebyshev Semi-Iterative Approach for
+    # Accelerating Projective and Position-Based Dynamics"; this
+    # framework's extension — no reference equivalent, 0 = off =
+    # reference behavior). rho estimates the spectral radius of the
+    # underlying iteration (Wang: 0.9-0.99 works across scenes); the
+    # recurrence w1=1, w2=2/(2-rho^2), w(k+1)=4/(4-rho^2 wk)
+    # extrapolates x(k+1) = w (x~(k+1) - x(k-1)) + x(k-1).
+    # Extrapolation only engages at iteration `chebyshev_start` (early
+    # iterates are far from the asymptotic regime; extrapolating them
+    # destabilizes violent scenes — Wang's "delayed start"), and is
+    # suppressed on any iteration whose plain update is an exact no-op
+    # so the all-lambda-zero early exit stays exact.
+    pbd_chebyshev_rho: float = 0.0
+    dfsph_chebyshev_rho: float = 0.0
+    chebyshev_start: int = 4
 
     # --- static capacity bounds (TPU fixed-shape requirements; no reference
     #     equivalent — the CUDA code walks dynamic cellStart ranges) ---

@@ -337,6 +337,16 @@ def apply_surface_effects(
     return vel + a * dt
 
 
+def cheb_next(itn, omega, rho2, start):
+    """Chebyshev semi-iteration weight for producing iterate ``itn``
+    (1-based): 1 before the delayed start (identity extrapolation), then
+    w = 2/(2-rho^2), then w = 4/(4-rho^2 w) ([2015][TOG][Wang]; see
+    config.py pbd_chebyshev_rho / dfsph_chebyshev_rho)."""
+    return jnp.where(itn < start, 1.0,
+                     jnp.where(itn == start, 2.0 / (2.0 - rho2),
+                               4.0 / (4.0 - rho2 * omega)))
+
+
 def gravity_update(vel: jnp.ndarray, cfg: SimConfig, dt) -> jnp.ndarray:
     """force(): vel += dt * G (src/BasicSPHSolver.cu:227-235)."""
     return vel + dt * jnp.asarray(cfg.gravity, jnp.float32)

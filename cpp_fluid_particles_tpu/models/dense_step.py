@@ -38,6 +38,7 @@ from ..ops.grid import POS_PAD
 from ..parallel.mesh import shard_particles
 from ..state import FluidState
 from . import dfsph as dfsph_mod
+from .common import cheb_next as _cheb_next
 from . import pbd as pbd_mod
 
 F32 = jnp.float32
@@ -389,18 +390,44 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
         vel_d = vel_d + sa_pass(divwarm_d * cfg.dfsph_warm_divergence)
     err0, stiff0 = div_error(vel_d)
 
-    def div_cond(c):
-        it, _, _, _, total = c
-        return ((it < 1) | (total > tau_div)) & (it < cfg.dfsph_max_iter)
+    cheb2 = float(cfg.dfsph_chebyshev_rho) ** 2
 
-    def div_body(c):
-        it, v, s, w, _ = c
-        v = v + sa_pass(s)
-        err, s = div_error(v)
-        return it + 1, v, s, w + s, jnp.sum(jnp.abs(err))
+    if cheb2 > 0.0:
+        # Chebyshev-accelerated Jacobi (cfg.dfsph_chebyshev_rho; see
+        # config.py) — extrapolates the velocity iterate of both solves
+        def div_cond(c):
+            it, _, _, _, _, _, total = c
+            return (((it < 1) | (total > tau_div))
+                    & (it < cfg.dfsph_max_iter))
 
-    div_it, vel_d, _, divwarm_d, div_total = jax.lax.while_loop(
-        div_cond, div_body, (jnp.int32(0), vel_d, stiff0, stiff0, f32max))
+        def div_body(c):
+            it, v, v_prev, omega, s, w, _ = c
+            v_new = v + sa_pass(s)
+            omega = _cheb_next(it + 1, omega, cheb2, cfg.chebyshev_start)
+            v_acc = omega * (v_new - v_prev) + v_prev
+            err, s = div_error(v_acc)
+            return (it + 1, v_acc, v, omega, s, w + s,
+                    jnp.sum(jnp.abs(err)))
+
+        div_it, vel_d, _, _, _, divwarm_d, div_total = jax.lax.while_loop(
+            div_cond, div_body,
+            (jnp.int32(0), vel_d, vel_d, jnp.float32(1.0), stiff0, stiff0,
+             f32max))
+    else:
+        def div_cond(c):
+            it, _, _, _, total = c
+            return (((it < 1) | (total > tau_div))
+                    & (it < cfg.dfsph_max_iter))
+
+        def div_body(c):
+            it, v, s, w, _ = c
+            v = v + sa_pass(s)
+            err, s = div_error(v)
+            return it + 1, v, s, w + s, jnp.sum(jnp.abs(err))
+
+        div_it, vel_d, _, divwarm_d, div_total = jax.lax.while_loop(
+            div_cond, div_body,
+            (jnp.int32(0), vel_d, stiff0, stiff0, f32max))
 
     # --- non-pressure forces ---
     vel_d = _grav(vel_d, cfg, dt)
@@ -426,21 +453,45 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     err0, stiff0 = den_error(vel_d)
     warm_d = stiff0
 
-    def den_cond(c):
-        it, _, _, _, total = c
-        return ((it < 2) | (total > tau_den)) & (it < cfg.dfsph_max_iter)
+    if cheb2 > 0.0:
+        def den_cond(c):
+            it, _, _, _, _, _, total = c
+            return (((it < 2) | (total > tau_den))
+                    & (it < cfg.dfsph_max_iter))
 
-    def den_body(c):
-        it, v, s, w, total = c
-        v = v + sa_pass(s) / dt
-        err, s = den_error(v)
-        w = w + s
-        it = it + 1
-        total = jnp.where(it >= 2, jnp.sum(jnp.abs(err)), total)
-        return it, v, s, w, total
+        def den_body(c):
+            it, v, v_prev, omega, s, w, total = c
+            v_new = v + sa_pass(s) / dt
+            omega = _cheb_next(it + 1, omega, cheb2, cfg.chebyshev_start)
+            v_acc = omega * (v_new - v_prev) + v_prev
+            err, s = den_error(v_acc)
+            w = w + s
+            it = it + 1
+            total = jnp.where(it >= 2, jnp.sum(jnp.abs(err)), total)
+            return it, v_acc, v, omega, s, w, total
 
-    den_it, vel_d, _, warm_d, den_total = jax.lax.while_loop(
-        den_cond, den_body, (jnp.int32(0), vel_d, stiff0, warm_d, f32max))
+        den_it, vel_d, _, _, _, warm_d, den_total = jax.lax.while_loop(
+            den_cond, den_body,
+            (jnp.int32(0), vel_d, vel_d, jnp.float32(1.0), stiff0, warm_d,
+             f32max))
+    else:
+        def den_cond(c):
+            it, _, _, _, total = c
+            return (((it < 2) | (total > tau_den))
+                    & (it < cfg.dfsph_max_iter))
+
+        def den_body(c):
+            it, v, s, w, total = c
+            v = v + sa_pass(s) / dt
+            err, s = den_error(v)
+            w = w + s
+            it = it + 1
+            total = jnp.where(it >= 2, jnp.sum(jnp.abs(err)), total)
+            return it, v, s, w, total
+
+        den_it, vel_d, _, warm_d, den_total = jax.lax.while_loop(
+            den_cond, den_body,
+            (jnp.int32(0), vel_d, stiff0, warm_d, f32max))
 
     # --- advect ---
     pos_d = pos_d + dt * vel_d
@@ -499,12 +550,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     # all remaining reference iterations are bitwise no-ops, so the early
     # exit is output-identical while skipping dead traversals in the fall /
     # settled phases ---
-    def project_cond(c):
-        it, _, _, alive = c
-        return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
-
-    def project_body(c):
-        it, p_d, _, _ = c
+    def _project_once(p_d):
         lam5 = pp.pbd_lambda_pass((p_d, mass_d),
                                   bdx, colc, dims, dims_b,
                                   cfg, engine)
@@ -525,13 +571,45 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
         dp = pp.stiffness_accel_pass(
             (p_d, mass_d, lam[None]), bdx, colc,
             dims, dims_b, cfg, engine) / cfg.rho0
-        p_d = _clamp_pos_only(p_d + dp, cfg)
-        return it + 1, p_d, rho, alive
+        return _clamp_pos_only(p_d + dp, cfg), rho, alive
 
     zero_rho = jnp.zeros(pos_d.shape[1:], F32)
-    pbd_it, pos_d, rho, _ = jax.lax.while_loop(
-        project_cond, project_body,
-        (jnp.int32(0), pos_d, zero_rho, jnp.bool_(True)))
+    if cfg.pbd_chebyshev_rho > 0.0:
+        # Chebyshev-accelerated projection (cfg.pbd_chebyshev_rho; see
+        # config.py — extrapolation suppressed when the plain update is
+        # a no-op so the exact early exit is preserved)
+        rho2 = float(cfg.pbd_chebyshev_rho) ** 2
+
+        def project_cond(c):
+            it, _, _, _, _, alive = c
+            return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
+
+        def project_body(c):
+            it, p_d, p_prev, omega, _, _ = c
+            p_new, rho, alive = _project_once(p_d)
+            omega = _cheb_next(it + 1, omega, rho2, cfg.chebyshev_start)
+            p_acc = jnp.where(alive, omega * (p_new - p_prev) + p_prev,
+                              p_new)
+            return (it + 1, _clamp_pos_only(p_acc, cfg), p_d, omega,
+                    rho, alive)
+
+        pbd_it, pos_d, _, _, rho, _ = jax.lax.while_loop(
+            project_cond, project_body,
+            (jnp.int32(0), pos_d, pos_d, jnp.float32(1.0), zero_rho,
+             jnp.bool_(True)))
+    else:
+        def project_cond(c):
+            it, _, _, alive = c
+            return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
+
+        def project_body(c):
+            it, p_d, _, _ = c
+            p_d, rho, alive = _project_once(p_d)
+            return it + 1, p_d, rho, alive
+
+        pbd_it, pos_d, rho, _ = jax.lax.while_loop(
+            project_cond, project_body,
+            (jnp.int32(0), pos_d, zero_rho, jnp.bool_(True)))
 
     # --- velocity from position delta (src/PBDSolver.cu:55-60) ---
     vel_d = (pos_d - plast_d) / dt

@@ -149,12 +149,7 @@ def step(
     # when an iteration's lambda field is all-zero (every rho <= rho0): dp
     # is then exactly 0 and all remaining reference iterations are bitwise
     # no-ops, so the early exit is output-identical.
-    def project_cond(c):
-        it, _, _, alive = c
-        return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
-
-    def project_body(c):
-        it, pos, _, _ = c
+    def _project_once(pos):
         rho, lam = _density_lambda(fg, scene, pos, cfg)
         alive = jnp.any(lam != 0.0)
         if cfg.pbd_density_tolerance > 0.0:
@@ -163,13 +158,43 @@ def step(
             alive = alive & (jnp.max(rho) / cfg.rho0 - 1.0
                              > cfg.pbd_density_tolerance)
         dp = _delta_pos(fg, scene, pos, lam, cfg)
-        pos = C.enforce_boundary_pos(pos + dp, cfg)
-        return it + 1, pos, rho, alive
+        return C.enforce_boundary_pos(pos + dp, cfg), rho, alive
 
-    pbd_it, pos, density, _ = jax.lax.while_loop(
-        project_cond, project_body,
-        (jnp.int32(0), state.pos, state.density, jnp.bool_(True))
-    )
+    if cfg.pbd_chebyshev_rho > 0.0:
+        # Chebyshev-accelerated projection (cfg.pbd_chebyshev_rho; the
+        # oracle mirror of dense_step.pbd_step's accelerated loop)
+        rho2 = float(cfg.pbd_chebyshev_rho) ** 2
+
+        def project_cond(c):
+            it, _, _, _, _, alive = c
+            return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
+
+        def project_body(c):
+            it, pos, prev, omega, _, _ = c
+            new, rho, alive = _project_once(pos)
+            omega = C.cheb_next(it + 1, omega, rho2, cfg.chebyshev_start)
+            acc = jnp.where(alive, omega * (new - prev) + prev, new)
+            acc = C.enforce_boundary_pos(acc, cfg)
+            return it + 1, acc, pos, omega, rho, alive
+
+        pbd_it, pos, _, _, density, _ = jax.lax.while_loop(
+            project_cond, project_body,
+            (jnp.int32(0), state.pos, state.pos, jnp.float32(1.0),
+             state.density, jnp.bool_(True)))
+    else:
+        def project_cond(c):
+            it, _, _, alive = c
+            return ((it < 1) | alive) & (it < cfg.pbd_max_iter)
+
+        def project_body(c):
+            it, pos, _, _ = c
+            pos, rho, alive = _project_once(pos)
+            return it + 1, pos, rho, alive
+
+        pbd_it, pos, density, _ = jax.lax.while_loop(
+            project_cond, project_body,
+            (jnp.int32(0), state.pos, state.density, jnp.bool_(True))
+        )
 
     # step 3: velocity from position delta (src/PBDSolver.cu:55-60)
     vel = (pos - carry.pos_last) / dt

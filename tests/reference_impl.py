@@ -196,9 +196,21 @@ def delta_pos(pos, mass, lam, bpos, bmass, h, rho0):
 
 
 def boundary_mass(bpos, h, rhoB):
-    """Akinci boundary mass (src/SPHSystem.cu:92-105)."""
-    _, r = _rel(bpos, bpos)
-    wsum = w_cubic(r, h).sum(1)
+    """Akinci boundary mass (src/SPHSystem.cu:92-105).
+
+    Sparse pair enumeration via cKDTree instead of the dense (nb, nb)
+    matrix: identical float64 math (w_cubic is zero beyond h and the
+    q < EPS cut zeroes self/coincident pairs), but the dam boundary is
+    ~14k particles — the dense form materialises ~8 GB of temporaries
+    and dominated the quick test tier."""
+    from scipy.spatial import cKDTree
+    bpos = np.asarray(bpos, np.float64)
+    pairs = cKDTree(bpos).query_pairs(h, output_type="ndarray")
+    r = np.linalg.norm(bpos[pairs[:, 0]] - bpos[pairs[:, 1]], axis=1)
+    w = w_cubic(r, h)
+    wsum = np.zeros(len(bpos))
+    np.add.at(wsum, pairs[:, 0], w)
+    np.add.at(wsum, pairs[:, 1], w)
     return rhoB / np.maximum(EPS, wsum)
 
 

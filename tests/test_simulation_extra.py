@@ -71,6 +71,45 @@ def test_pbd_density_tolerance_mode():
     assert np.isfinite(np.asarray(sim.state.pos)).all()
 
 
+def test_pbd_chebyshev_mode():
+    """cfg.pbd_chebyshev_rho > 0 enables the Chebyshev semi-iterative
+    extrapolation of the projection loop ([2015][TOG][Wang]; this
+    framework's extension — the reference runs plain Jacobi-style
+    iterations). The accelerated run must stay finite, keep the
+    iteration count in range, and reach a density residual at its exit
+    no worse than ~2x the plain run's at the same tolerance."""
+    tol = 0.01
+    plain = cfp.Simulation(
+        solver="pbd", cfg=CFG.replace(pbd_density_tolerance=tol),
+        fluid_pos=small_block(), warmup=True)
+    plain.run(5)
+    acc = cfp.Simulation(
+        solver="pbd", cfg=CFG.replace(pbd_density_tolerance=tol,
+                                      pbd_chebyshev_rho=0.9),
+        fluid_pos=small_block(), warmup=True)
+    acc.run(5)
+    assert np.isfinite(np.asarray(acc.state.pos)).all()
+    it = int(np.asarray(acc.metrics["pbd_iters"]))
+    assert 1 <= it <= CFG.pbd_max_iter
+    # quality guard: peak compression after the same 5 frames comparable
+    rho_p = float(np.asarray(plain.state.density).max())
+    rho_a = float(np.asarray(acc.state.density).max())
+    assert rho_a / CFG.rho0 < max(1.05, 2.0 * rho_p / CFG.rho0)
+
+
+def test_dfsph_chebyshev_mode():
+    """cfg.dfsph_chebyshev_rho > 0: accelerated Jacobi in both DFSPH
+    solves; finite run, in-range iteration counts."""
+    cfg = CFG.replace(dfsph_chebyshev_rho=0.9)
+    sim = cfp.Simulation(solver="dfsph", cfg=cfg, fluid_pos=small_block(),
+                         warmup=True)
+    sim.run(5)
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+    for key in ("divergence_iters", "density_iters"):
+        it = int(np.asarray(sim.metrics[key]))
+        assert 0 <= it <= cfg.dfsph_max_iter
+
+
 @pytest.mark.slow
 def test_scaled_dam_scene_smoke():
     cfg, pos = cfp.scaled_dam_scene(800)
