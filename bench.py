@@ -220,6 +220,29 @@ def main() -> int:
     print(f"# pbd (tolerance 1%): {tol_ms:.2f} ms/frame "
           f"({11.3/tol_ms:.2f}x vs 11.3 ms baseline)", file=sys.stderr)
 
+    # Chebyshev-accelerated modes (PARITY.md #11; exp/cheb_bench.py is
+    # the standalone sweep): same convergence criteria, fewer Jacobi /
+    # projection iterations via semi-iterative extrapolation.
+    sim = cfp.Simulation(
+        solver="pbd",
+        cfg=cfp.dam_break_config().replace(pbd_density_tolerance=0.01,
+                                           pbd_chebyshev_rho=0.9),
+        warmup=True)
+    cheb_ms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain)
+    results["pbd"]["cheb_mode_ms_per_frame"] = round(cheb_ms, 3)
+    results["pbd"]["cheb_mode_vs_baseline"] = round(11.3 / cheb_ms, 2)
+    print(f"# pbd (tol 1% + chebyshev 0.9): {cheb_ms:.2f} ms/frame "
+          f"({11.3/cheb_ms:.2f}x vs 11.3 ms baseline)", file=sys.stderr)
+    sim = cfp.Simulation(
+        solver="dfsph",
+        cfg=cfp.dam_break_config().replace(dfsph_chebyshev_rho=0.9),
+        warmup=True)
+    dcheb_ms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain)
+    results["dfsph"]["cheb_mode_ms_per_frame"] = round(dcheb_ms, 3)
+    results["dfsph"]["cheb_mode_vs_baseline"] = round(23.0 / dcheb_ms, 2)
+    print(f"# dfsph (chebyshev 0.9): {dcheb_ms:.2f} ms/frame "
+          f"({23.0/dcheb_ms:.2f}x vs 23.0 ms baseline)", file=sys.stderr)
+
     # BASELINE target #2 rider: 1M-particle DFSPH steps/s on the one
     # reachable chip (the >10 steps/s target is for v5e-8; SCALING.md
     # carries the 8-chip projection; bench_scaled.py is the standalone
