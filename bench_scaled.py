@@ -4,8 +4,9 @@ number here is the single-chip steps/s and the v5e-8 figure is the
 sharded path's projection, validated for correctness on the 8-virtual-
 device mesh by tests/test_parallel.py).
 
-Usage: python bench_scaled.py [n_particles] [solver] [n_steps]
+Usage: python bench_scaled.py [n_particles] [solver] [n_steps] [cheb_rho]
 Prints one JSON line: {"metric": "dfsph_steps_per_s_1m", ...}.
+cheb_rho > 0 enables the Chebyshev-accelerated mode (PARITY.md #11).
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ def main() -> int:
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     solver = sys.argv[2] if len(sys.argv) > 2 else "dfsph"
     n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    cheb_rho = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
     import jax
     import jax.numpy as jnp
@@ -33,6 +35,10 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg, pos = cfp.scaled_dam_scene(n_target)
+    if cheb_rho > 0.0:
+        cfg = cfg.replace(dfsph_chebyshev_rho=cheb_rho,
+                          pbd_chebyshev_rho=cheb_rho,
+                          pbd_density_tolerance=0.01)
     t0 = time.perf_counter()
     sim = cfp.Simulation(solver=solver, cfg=cfg, fluid_pos=pos,
                          warmup=False)
@@ -66,7 +72,8 @@ def main() -> int:
 
     steps_per_s = 1e3 / per_step
     print(json.dumps({
-        "metric": f"{solver}_steps_per_s_{n_target}",
+        "metric": (f"{solver}_steps_per_s_{n_target}"
+                   + ("_cheb" if cheb_rho > 0.0 else "")),
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 10.0, 3),
