@@ -114,6 +114,18 @@ class SimConfig:
     # boundary masses always honor the stored arrays.
     uniform_fluid_mass: bool = True
 
+    # Grid-fill strategy for the sliding-box engine: "scatter" writes all
+    # F field rows with one scatter; "gather" scatters ONE int32
+    # slot->particle-id row and fetches all F rows with a single
+    # shared-index row take (bitwise-identical output — the slot map is
+    # injective). TPU scatter pays per ELEMENT (~0.45 GB/s measured,
+    # exp/fill_sort.py) while the row take pays per INDEX (~2.3 GB/s,
+    # exp/gather_bw.py), so gather wins when the box holds few slots per
+    # particle: "auto" picks by the measured-bandwidth model
+    # (F*slots/2.3 + N/0.45 < F*N/0.45) — gather at the 1M scene
+    # (~2.2 slots/particle), scatter on the 20k dam break (~12.6).
+    box_fill: str = "auto"
+
     # --- execution engine ---
     # "dense"     : resolves to "xlab"
     # "xlab"      : sliding-box lane-major grid (ops/box.py) — the flat

@@ -71,7 +71,7 @@ def _layout(pos, cfg, dims, dims_b, scene_d, engine, box) -> Layout:
         return Layout(
             idx=idx, colc=None,
             fill=lambda fields, fills: bx.fill_box(idx, fields, fills,
-                                                   bdims),
+                                                   bdims, cfg.box_fill),
             read=lambda arr: bx.read_box(idx, arr),
             dims=bdims, dims_b=bdims_b, bd=bdx)
     idx = build_dense_index(pos, cfg, dims)

@@ -106,16 +106,47 @@ def build_box_index(pos: jnp.ndarray, cfg: SimConfig, full: DenseDims,
                     max_occupancy=max_occ)
 
 
+# measured on the v5e chip (exp/fill_sort.py, exp/gather_bw.py): scatter
+# costs per ELEMENT (~0.45 GB/s), a shared-index row take per INDEX
+# (~2.3 GB/s) — the "auto" fill mode picks the cheaper data motion from
+# the static shapes
+_SCATTER_BW = 0.45
+_TAKE_BW = 2.3
+
+
 def fill_box(idx: BoxIndex, fields: Sequence[jnp.ndarray],
-             fills: Sequence[float], box: DenseDims) -> jnp.ndarray:
-    """Stack (N,) fields -> (F, K, GB) lane-major box arrays in ONE
-    scatter (GB = ghosted box cell count)."""
+             fills: Sequence[float], box: DenseDims,
+             mode: str = "scatter") -> jnp.ndarray:
+    """Stack (N,) fields -> (F, K, GB) lane-major box arrays
+    (GB = ghosted box cell count).
+
+    mode "scatter": one F-row scatter at the particle slots.
+    mode "gather": scatter ONE int32 slot->particle-id row (empty slots
+    keep the sentinel N), then fetch all F rows with a single
+    shared-index row take from the fields padded with their fill column.
+    Bitwise-identical: valid slots are injective (rank*GB+gcell), invalid
+    particles land on the sliced-off trash slot either way, and empty
+    slots read the fill column via the sentinel.
+    mode "auto": the measured-bandwidth model above (cfg.box_fill).
+    """
     f = len(fields)
     total = box.k * box.g
+    n = idx.slots.shape[0]
     vals = jnp.stack([jnp.asarray(x, F32) for x in fields], 0)
-    init = jnp.broadcast_to(
-        jnp.asarray(fills, F32)[:, None], (f, total + 1))
-    dense = init.at[:, idx.slots].set(vals, mode="drop")
+    if mode == "auto":
+        mode = ("gather"
+                if f * total / _TAKE_BW + n / _SCATTER_BW
+                < f * n / _SCATTER_BW else "scatter")
+    if mode == "gather":
+        pid = jnp.full((total + 1,), n, jnp.int32).at[idx.slots].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        padded = jnp.concatenate(
+            [vals, jnp.asarray(fills, F32)[:, None]], 1)
+        dense = padded[:, pid]
+    else:
+        init = jnp.broadcast_to(
+            jnp.asarray(fills, F32)[:, None], (f, total + 1))
+        dense = init.at[:, idx.slots].set(vals, mode="drop")
     return constrain_axis(dense[:, :total].reshape(f, box.k, box.g), 2)
 
 

@@ -14,6 +14,13 @@ Variants, all producing the IDENTICAL (F, K, GB) lane-major box grid:
       the sorted keys, then the scatter indices gcell*K+rank are
       NON-DECREASING -> scatter with indices_are_sorted=True +
       unique_indices=True into (GB*K+1), transpose back.
+  V3  gather-fill: scatter ONE int32 row (slot -> particle id, sentinel N
+      for empty) then fetch all F rows with one shared-index row take
+      (the read_box pattern — the fastest gather on this chip,
+      exp/gather_bw.py: pays per INDEX, not per element like scatter).
+      Cost model: N/scatter_bw + F*slots/take_bw vs F*N/scatter_bw —
+      wins when slots/N is small (the 1M scene: 2.2x) and loses when the
+      box is slot-inflated (the 20k dam: 12.6x).
 
 Run on the TPU: python exp/fill_sort.py [n]
 """
@@ -109,6 +116,17 @@ def v2(key, gcell, fields, box, c):
             .transpose(0, 2, 1))
 
 
+def v3(idx_slots, fields, box, c):
+    f, n = fields.shape
+    total = box.k * box.g
+    pid = jnp.full((total + 1,), n, jnp.int32).at[idx_slots].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    padded = jnp.concatenate(
+        [fields + c * 1e-30, jnp.asarray(FILLS[:f], F32)[:, None]], 1)
+    dense = padded[:, pid]
+    return dense[:, :total].reshape(f, box.k, box.g)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     if n >= 500_000:
@@ -159,8 +177,11 @@ def main():
     r0 = np.asarray(j0(slots, fields, jnp.float32(0.0)))
     r1 = np.asarray(j1(slots_gk, fields, jnp.float32(0.0)))
     r2 = np.asarray(j2(key, gq, fields, jnp.float32(0.0)))
+    j3 = jax.jit(lambda s, f_, c: v3(s, f_, box, c))
+    r3 = np.asarray(j3(slots, fields, jnp.float32(0.0)))
     print("v1 bitwise ==", np.array_equal(r0, r1),
-          "| v2 bitwise ==", np.array_equal(r0, r2), flush=True)
+          "| v2 bitwise ==", np.array_equal(r0, r2),
+          "| v3 bitwise ==", np.array_equal(r0, r3), flush=True)
 
     t0 = time_fn(lambda s, f_, c: v0(s, f_, box, c), (slots, fields))
     print(f"V0 current (K,G) scatter:        {t0:8.3f} ms", flush=True)
@@ -169,6 +190,8 @@ def main():
     t2 = time_fn(lambda k_, g_, f_, c: v2(k_, g_, f_, box, c),
                  (key, gq, fields))
     print(f"V2 sort-payload + sorted scatter:{t2:8.3f} ms", flush=True)
+    t3 = time_fn(lambda s, f_, c: v3(s, f_, box, c), (slots, fields))
+    print(f"V3 id-scatter + row take:        {t3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

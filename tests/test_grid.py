@@ -133,3 +133,28 @@ def test_boundary_cell_stencil_clips_to_sentinel():
     nc = np.asarray(tables.neighbor_cells[0])
     # 27 offsets, only 8 in-grid for the corner cell
     assert (nc == CFG.num_cells).sum() == 27 - 8
+
+
+def test_box_gather_fill_bitwise_matches_scatter():
+    """fill_box mode='gather' (slot->id scatter + shared-index row take)
+    must be bitwise-identical to the scatter fill, including fill values
+    in empty slots, per-cell-K overflow drops, and out-of-box particles."""
+    from cpp_fluid_particles_tpu.ops import box as bx
+    from cpp_fluid_particles_tpu.ops import dense as dn
+
+    dims = dn.dims_for(CFG)
+    box = dn.DenseDims(6, 6, 6, 3)  # K=3 forces rank overflow drops
+    pos = np.array(rand_pos(500, seed=3, lo=0.05, hi=0.95))
+    pos[:5] = [1.5, 0.5, 0.5]   # out of domain -> invalid
+    pos[5:15] = [0.06, 0.06, 0.06]  # box-corner cell cluster -> rank >= K=3 drops
+    pos = jnp.asarray(pos)
+    idx = bx.build_box_index(pos, CFG, dims, box)
+    fields = [pos[:, 0], pos[:, 1], pos[:, 2],
+              jnp.arange(500, dtype=jnp.float32)]
+    fills = [POS_PAD, POS_PAD, POS_PAD, -7.0]
+    a = np.asarray(bx.fill_box(idx, fields, fills, box, "scatter"))
+    b = np.asarray(bx.fill_box(idx, fields, fills, box, "gather"))
+    c = np.asarray(bx.fill_box(idx, fields, fills, box, "auto"))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, c)
+    assert int(np.asarray(idx.overflow)) > 0  # the drop case is exercised
