@@ -126,6 +126,25 @@ class SimConfig:
     # (~2.2 slots/particle), scatter on the 20k dam break (~12.6).
     box_fill: str = "auto"
 
+    # Skip the boundary folds of every traversal while the sliding box's
+    # boundary window holds no boundary particle (boundary candidates are
+    # 37-39% of a with-boundary traversal, exp/boundary_share.py — all
+    # exactly zero then: empty slots carry zero mass and POS_PAD
+    # positions). Simulation compiles a boundary-free step program and
+    # selects it per chunk from the on-device `bd_touch` detector; a
+    # chunk in which the window reaches a wall mid-flight is re-run with
+    # the boundary program from the pre-chunk state (the same no-drop
+    # retry contract as the capacity bounds). Physics is identical up to
+    # f32 summation order (the boundary folds it removes are exact
+    # zeros, but XLA's reduce fusions tile differently in the two
+    # programs — the same noise class as a chunking/capacity
+    # reconfiguration; measured 1 ulp on velocities per step, positions
+    # unchanged). Pays off in interior-fluid phases
+    # (the 1M scene's entire fall window; the 20k dam touches walls from
+    # frame 0 and never switches). Requires auto_capacity + the sliding
+    # box engine.
+    skip_empty_boundary: bool = True
+
     # --- execution engine ---
     # "dense"     : resolves to "xlab"
     # "xlab"      : sliding-box lane-major grid (ops/box.py) — the flat

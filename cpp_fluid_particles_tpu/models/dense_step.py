@@ -55,35 +55,54 @@ class Layout(NamedTuple):
     dims: DenseDims          # effective fluid grid dims for passes
     dims_b: DenseDims        # effective boundary dims for passes
     bd: Any                  # boundary operand for passes (or None)
+    touch: Any               # int32: real boundary slots in the window
+    #                          (1-sentinel for full-domain engines, whose
+    #                           window is the whole boundary grid)
 
 
-def _layout(pos, cfg, dims, dims_b, scene_d, engine, box) -> Layout:
+def _layout(pos, cfg, dims, dims_b, scene_d, engine, box,
+            use_bd: bool = True) -> Layout:
     """'xlab' runs the flat lane-major executors over a sliding fluid
     bounding box (ops/box.py, box = static (BX, BY, BZ) size); the other
-    engines use the full ghosted dense grid (ops/dense.py)."""
+    engines use the full ghosted dense grid (ops/dense.py).
+
+    use_bd=False (xlab only — cfg.skip_empty_boundary): the passes get
+    bd=None (executors skip the boundary folds entirely) and only posx of
+    the boundary window is sliced to count real boundary slots. The
+    Simulation selects this program while `touch` stays 0 and re-runs any
+    chunk in which the window reached a wall; with an empty window the
+    removed folds are exact zeros, so the two programs agree up to f32
+    summation order (XLA tiles the fluid reduce fusions differently)."""
     if engine == "xlab":
         assert box is not None, "engine='xlab' requires the box size"
         bdims = DenseDims(box[0], box[1], box[2], dims.k)
         bdims_b = DenseDims(box[0], box[1], box[2], dims_b.k)
         idx = bx.build_box_index(pos, cfg, dims, bdims)
-        bdx = bx.slice_boundary_box(scene_d.bd, dims, bdims, dims_b.k,
-                                    idx.origin)
+        if use_bd:
+            bdx = bx.slice_boundary_box(scene_d.bd, dims, bdims, dims_b.k,
+                                        idx.origin)
+            row0 = bdx[0]
+        else:
+            bdx = None
+            row0 = bx.slice_boundary_box(scene_d.bd[0:1], dims, bdims,
+                                         dims_b.k, idx.origin)[0]
+        touch = jnp.sum(row0 < POS_GUARD).astype(jnp.int32)
         return Layout(
             idx=idx, colc=None,
             fill=lambda fields, fills: bx.fill_box(idx, fields, fills,
                                                    bdims, cfg.box_fill),
             read=lambda arr: bx.read_box(idx, arr),
-            dims=bdims, dims_b=bdims_b, bd=bdx)
+            dims=bdims, dims_b=bdims_b, bd=bdx, touch=touch)
     idx = build_dense_index(pos, cfg, dims)
     bd = scene_d.bd if engine in ("xla", "xla27") else scene_d.bd_jcols
     return Layout(
         idx=idx, colc=idx.col_count,
         fill=lambda fields, fills: fill_dense(idx, fields, fills, dims),
         read=lambda arr: read_dense(idx, arr),
-        dims=dims, dims_b=dims_b, bd=bd)
+        dims=dims, dims_b=dims_b, bd=bd, touch=jnp.int32(1))
 
 
-def _base_metrics(idx):
+def _base_metrics(idx, touch=None):
     if isinstance(idx, bx.BoxIndex):
         m = {"grid_overflow": idx.overflow,
              "box_overflow": idx.box_overflow,
@@ -96,12 +115,14 @@ def _base_metrics(idx):
              "box_ext": jnp.zeros((3,), jnp.int32),
              "active_cells": jnp.sum(idx.col_count > 0),
              "max_occupancy": idx.max_occupancy}
+    m["bd_touch"] = jnp.int32(1) if touch is None else touch
     # packed copy of the auto-capacity scalars: ONE host fetch syncs the
     # step and reads all of them (each separate fetch is a full relay
     # round trip, ~45 ms on the tunneled runtime)
     m["capacity"] = jnp.concatenate([
         jnp.stack([m["grid_overflow"], m["box_overflow"],
-                   m["max_occupancy"]]), m["box_ext"]])
+                   m["max_occupancy"]]), m["box_ext"],
+        m["bd_touch"][None]])
     return m
 
 
@@ -242,11 +263,12 @@ def _merge_back(idx: DenseIndex, gathered: jnp.ndarray, fb_pos, fb_vel):
 
 def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-               engine: str = "xla", box=None):
+               engine: str = "xla", box=None, use_bd: bool = True):
     # under spatial_sharding, particle-indexed (N,) state is sharded over
     # the mesh (not replicated) — memory and scatter/gather scale 1/devices
     state, carry = shard_particles((state, carry))
-    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
+    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box,
+                 use_bd)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
     if cfg.uniform_fluid_mass:
@@ -307,7 +329,7 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
     new_state = shard_particles(state._replace(
         pos=pos, vel=vel, density=out[6], pressure=out[7]))
-    return new_state, carry, _base_metrics(idx)
+    return new_state, carry, _base_metrics(idx, lo.touch)
 
 
 # ----------------------------------------------------------------------
@@ -316,9 +338,10 @@ def wcsph_step(state: FluidState, carry, scene_d: DenseScene,
 
 def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
                cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-               engine: str = "xla", box=None):
+               engine: str = "xla", box=None, use_bd: bool = True):
     state, carry = shard_particles((state, carry))
-    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
+    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box,
+                 use_bd)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
     if cfg.uniform_fluid_mass:
@@ -506,7 +529,7 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     new_carry = shard_particles(dfsph_mod.DFSPHCarry(warm_stiff=out[7],
                                                      div_warm=out[8]))
     metrics = {
-        **_base_metrics(idx),
+        **_base_metrics(idx, lo.touch),
         "divergence_iters": div_it,
         "density_iters": den_it,
         "divergence_error": div_total,
@@ -521,9 +544,10 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
 
 def pbd_step(state: FluidState, carry, scene_d: DenseScene,
              cfg: SimConfig, dt, dims: DenseDims, dims_b: DenseDims,
-             engine: str = "xla", box=None):
+             engine: str = "xla", box=None, use_bd: bool = True):
     state, carry = shard_particles((state, carry))
-    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box)
+    lo = _layout(state.pos, cfg, dims, dims_b, scene_d, engine, box,
+                 use_bd)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
     if cfg.uniform_fluid_mass:
@@ -644,7 +668,7 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     new_state = shard_particles(state._replace(pos=pos, vel=vel,
                                                density=out[6]))
     new_carry = shard_particles(pbd_mod.PBDCarry(pos_last=pos_last))
-    metrics = {**_base_metrics(idx), "pbd_iters": pbd_it}
+    metrics = {**_base_metrics(idx, lo.touch), "pbd_iters": pbd_it}
     return new_state, new_carry, metrics
 
 

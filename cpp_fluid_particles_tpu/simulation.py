@@ -139,6 +139,21 @@ class Simulation:
         self.dropped_frames = 0  # frames committed WITH particle drops
         #                          (capacity exhausted — see step())
         self._down_votes = 0
+        # boundary-skip program selection (cfg.skip_empty_boundary): while
+        # the box's boundary window is empty every boundary fold is exactly
+        # zero, so a boundary-free step program matches up to f32
+        # summation order (see config.py) while skipping the boundary
+        # share of each traversal. use_bd=False is
+        # only ever COMMITTED when the on-device bd_touch detector stayed 0
+        # for the whole chunk; a violating chunk is re-run with the
+        # boundary program from the pre-chunk state (same retry contract
+        # as the capacity bounds — exactness does not depend on the
+        # switching heuristic).
+        self.use_bd = True
+        self._bd_votes = 0
+        self._bd_skippable = (self.cfg.skip_empty_boundary
+                              and self.auto_capacity
+                              and engine in ("dense", "xlab"))
         self._boundary_pos_arg = boundary_pos
         # restart() re-invokes __init__ with these (keys 1/2/3 rebuild the
         # same scene, src/main.cpp:223-239 — including a custom one)
@@ -173,7 +188,7 @@ class Simulation:
         # to get a DIFFERENT program for the same (K, box).
         from .ops import pallas_passes as _pp
         key = (self.solver_name, self.engine, self.max_per_cell, self.box,
-               _pp.CHUNK_BIAS)
+               _pp.CHUNK_BIAS, self.use_bd)
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}
@@ -236,10 +251,12 @@ class Simulation:
                 self.box = self._initial_box(cfg_)
             box = self.box if exec_engine == "xlab" else None
 
+            use_bd = self.use_bd
+
             def _step(state, carry, scene, dt):
                 return dense_solver_step(state, carry, scene, cfg_, dt,
                                          dims, dims_b, engine=exec_engine,
-                                         box=box)
+                                         box=box, use_bd=use_bd)
 
         donate_args = (0, 1) if self._donate else ()
         self._raw_step = _step
@@ -320,10 +337,22 @@ class Simulation:
         self._build_step()
         return True
 
-    def _maybe_downshift(self, occ: int, ext=None) -> None:
+    def _maybe_downshift(self, occ: int, ext=None, bd_t: int = 1) -> None:
         """Shift K / the box back down after sustained calm (occupancy or
         extents well under the current bound) — reclaims the pair-cost
-        factor once a splash has settled."""
+        factor once a splash has settled. Also votes the boundary-skip
+        program in after consecutive boundary-free chunks
+        (cfg.skip_empty_boundary; switching back ON is not a vote — any
+        violating chunk is re-run immediately, see step())."""
+        if self._bd_skippable and self.use_bd:
+            if bd_t == 0:
+                self._bd_votes += 1
+                if self._bd_votes >= self.DOWN_VOTES:
+                    self.use_bd = False
+                    self._bd_votes = 0
+                    self._build_step()
+            else:
+                self._bd_votes = 0
         if not self.auto_capacity or occ <= 0:
             return
         fit_k = self._fit_k(occ, self.K_HEADROOM)
@@ -390,15 +419,18 @@ class Simulation:
 
     @staticmethod
     def _overflows(metrics):
-        """-> (k_overflow, box_overflow, max_occupancy, ext) from ONE
-        host fetch of the packed capacity vector."""
+        """-> (k_overflow, box_overflow, max_occupancy, ext, bd_touch)
+        from ONE host fetch of the packed capacity vector. bd_touch
+        defaults to 1 ("boundary present") for engines without the
+        detector."""
         if "capacity" in metrics:
             v = [int(x) for x in np.asarray(metrics["capacity"])]
-            return v[0], v[1], v[2], tuple(v[3:6])
+            bd_t = v[6] if len(v) > 6 else 1
+            return v[0], v[1], v[2], tuple(v[3:6]), bd_t
         ov_k = int(np.asarray(metrics["grid_overflow"]))
         ov_b = int(np.asarray(metrics.get("box_overflow", 0)))
         occ = int(np.asarray(metrics.get("max_occupancy", 0)))
-        return ov_k, ov_b, occ, (0, 0, 0)
+        return ov_k, ov_b, occ, (0, 0, 0), 1
 
     def _call_compiled(self, fn, *args):
         """Invoke a compiled step, retrying at perturbed capacity configs
@@ -508,22 +540,29 @@ class Simulation:
         fetch_ms = self._fetch_baseline_ms()
         need_backup = self.nan_rollback or self.auto_capacity
         backup = self._backup() if need_backup else None
-        state, carry, metrics, (ov_k, ov_b, occ, ext), ms = \
+        state, carry, metrics, (ov_k, ov_b, occ, ext, bd_t), ms = \
             self._run_step_once(dt, fetch_ms)
-        while self.auto_capacity and (ov_k > 0 or ov_b > 0):
+        while self.auto_capacity and (ov_k > 0 or ov_b > 0
+                                      or (not self.use_bd and bd_t > 0)):
             # restore FIRST: the failed call donated the old state buffers
             # and the rebuild may inspect self.state (the commit below the
             # loop re-assigns the kept result either way)
             self.state, self.carry = backup
-            if not self._bump_capacity("box" if ov_b > 0 else "k",
-                                       occ=occ, ext=ext):
+            if not self.use_bd and bd_t > 0:
+                # the boundary window reached a wall while running the
+                # boundary-free program: re-run with boundary folds on
+                self.use_bd = True
+                self._bd_votes = 0
+                self._build_step()
+            elif not self._bump_capacity("box" if ov_b > 0 else "k",
+                                         occ=occ, ext=ext):
                 # capacity exhausted: the kept result DROPS particles —
                 # the no-drop contract is broken, so fail loudly
                 self._warn_dropping(1, ov_k, ov_b, occ)
                 break
             self.retries += 1
             backup = self._backup()
-            state, carry, metrics, (ov_k, ov_b, occ, ext), ms = \
+            state, carry, metrics, (ov_k, ov_b, occ, ext, bd_t), ms = \
                 self._run_step_once(dt, fetch_ms)
         if self.nan_rollback:
             from .utils.metrics import nan_guard
@@ -537,7 +576,7 @@ class Simulation:
         self.metrics = metrics
         self.frame += 1
         self.total_ms += ms
-        self._maybe_downshift(occ, ext)
+        self._maybe_downshift(occ, ext, bd_t)
         return ms
 
     def run(self, n_steps: int, dt: Optional[float] = None) -> Dict[str, Any]:
@@ -578,7 +617,7 @@ class Simulation:
                     # overflow anywhere in the chunk must trigger the
                     # auto-capacity retry, not just on the last frame
                     for key in ("grid_overflow", "box_overflow",
-                                "max_occupancy", "box_ext"):
+                                "max_occupancy", "box_ext", "bd_touch"):
                         if key in ms:
                             last[key] = jnp.max(ms[key], axis=0)
                     if "capacity" in ms:
@@ -586,7 +625,8 @@ class Simulation:
                             jnp.stack([last["grid_overflow"],
                                        last["box_overflow"],
                                        last["max_occupancy"]]),
-                            last["box_ext"]])
+                            last["box_ext"],
+                            last["bd_touch"][None]])
                     return st, ca, last
 
                 self._multi_cache[n] = jax.jit(multi, donate_argnums=(0, 1))
@@ -597,16 +637,24 @@ class Simulation:
             t0 = time.perf_counter()
             st, ca, m = self._call_compiled(
                 lambda: compiled(n_steps), jnp.float32(dt))
-            ov_k, ov_b, occ, ext = self._overflows(m)
+            ov_k, ov_b, occ, ext, bd_t = self._overflows(m)
             ms_total = (time.perf_counter() - t0) * 1e3
-            if not (self.auto_capacity and (ov_k > 0 or ov_b > 0)):
+            if not (self.auto_capacity
+                    and (ov_k > 0 or ov_b > 0
+                         or (not self.use_bd and bd_t > 0))):
                 break
             # restore FIRST: the failed call donated the old state buffers
             # and the rebuild may inspect self.state (the commit below the
             # loop re-assigns the kept result either way)
             self.state, self.carry = backup
-            if not self._bump_capacity("box" if ov_b > 0 else "k",
-                                       occ=occ, ext=ext):
+            if not self.use_bd and bd_t > 0:
+                # a frame of this chunk reached a wall under the
+                # boundary-free program: re-run with boundary folds on
+                self.use_bd = True
+                self._bd_votes = 0
+                self._build_step()
+            elif not self._bump_capacity("box" if ov_b > 0 else "k",
+                                         occ=occ, ext=ext):
                 self._warn_dropping(n_steps, ov_k, ov_b, occ)
                 break
             self.retries += 1
@@ -614,7 +662,7 @@ class Simulation:
         self.state, self.carry, self.metrics = st, ca, m
         self.frame += n_steps
         self.total_ms += ms_total
-        self._maybe_downshift(occ, ext)
+        self._maybe_downshift(occ, ext, bd_t)
         return ms_total / n_steps
 
     # ------------------------------------------------------------------

@@ -192,3 +192,98 @@ def test_grad_coef_consistent_with_vector_form():
     want = np.asarray(kn.grad_w_surface_tension(rv, 0.04))
     got = np.asarray(kn.grad_w_surface_coef(r, 0.04)[:, None] * rv)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_boundary_skip_single_step_equivalence():
+    """use_bd=False vs use_bd=True from the same interior-fluid state:
+    the removed boundary folds are exact zeros, so the programs agree up
+    to f32 summation order (XLA's reduce fusions tile differently) —
+    positions unchanged over one step, velocities within ulps."""
+    import jax.numpy as jnp
+    from cpp_fluid_particles_tpu.models import dense_step as D
+    from cpp_fluid_particles_tpu.ops import dense as dn
+    from cpp_fluid_particles_tpu.state import (boundary_positions,
+                                               make_fluid_state)
+
+    cfg = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+    s = cfg.spacing
+    # interior block, snug box: the window reaches no wall
+    pos = np.array([(0.4 + s * i, 0.5 + s * j, 0.4 + s * k)
+                    for i in range(6) for j in range(6) for k in range(6)],
+                   np.float32)
+    bpos = boundary_positions(cfg)
+    kb = D.boundary_k(bpos, cfg)
+    dims, dims_b = dn.dims_for(cfg), dn.dims_for(cfg, kb)
+    scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xla")
+    state = make_fluid_state(pos, cfg)
+    rng = np.random.default_rng(0)
+    state = state._replace(vel=jnp.asarray(
+        rng.normal(0, 0.3, size=pos.shape).astype(np.float32)))
+    args = (state, None, scene_d, jnp.float32(cfg.dt))
+    kw = dict(engine="xlab", box=(8, 8, 8))
+    s1, _, m1 = D.wcsph_step(*args[:3], cfg, args[3], dims, dims_b,
+                             use_bd=True, **kw)
+    s2, _, m2 = D.wcsph_step(*args[:3], cfg, args[3], dims, dims_b,
+                             use_bd=False, **kw)
+    assert int(np.asarray(m1["bd_touch"])) == 0
+    assert int(np.asarray(m2["bd_touch"])) == 0
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s1.vel), np.asarray(s2.vel),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_boundary_skip_detector_fires_near_wall():
+    """A block one cell from the floor: the boundary-free program itself
+    must report bd_touch > 0 (the Simulation uses that to re-run the
+    chunk with boundary folds on)."""
+    import jax.numpy as jnp
+    from cpp_fluid_particles_tpu.models import dense_step as D
+    from cpp_fluid_particles_tpu.ops import dense as dn
+    from cpp_fluid_particles_tpu.state import (boundary_positions,
+                                               make_fluid_state)
+
+    cfg = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+    s = cfg.spacing
+    pos = np.array([(0.4 + s * i, 0.05 + s * j, 0.4 + s * k)
+                    for i in range(4) for j in range(4) for k in range(4)],
+                   np.float32)
+    bpos = boundary_positions(cfg)
+    kb = D.boundary_k(bpos, cfg)
+    dims, dims_b = dn.dims_for(cfg), dn.dims_for(cfg, kb)
+    scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xla")
+    state = make_fluid_state(pos, cfg)
+    _, _, m = D.wcsph_step(state, None, scene_d, cfg, jnp.float32(cfg.dt),
+                           dims, dims_b, engine="xlab", box=(8, 8, 8),
+                           use_bd=False)
+    assert int(np.asarray(m["bd_touch"])) > 0
+
+
+@pytest.mark.slow
+def test_boundary_skip_lifecycle():
+    """Simulation-level: an interior block switches to the boundary-free
+    program after the vote hysteresis, runs it through the fall, and the
+    bd_touch violation re-run switches boundary folds back on before the
+    floor impact is committed. The committed trajectory never drops
+    particles and stays contained."""
+    cfg = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+    s = cfg.spacing
+    pos = np.array([(0.4 + s * i, 0.6 + s * j, 0.4 + s * k)
+                    for i in range(6) for j in range(6) for k in range(6)],
+                   np.float32)
+    sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+                         warmup=False)
+    assert sim._bd_skippable and sim.use_bd
+    switched = False
+    for _ in range(140):  # contact around frame ~115 at dt=0.002
+        sim.step()
+        switched = switched or not sim.use_bd
+        if int(np.asarray(sim.metrics["bd_touch"])) > 0:
+            # any committed frame with boundary in range ran WITH folds
+            assert sim.use_bd
+    assert switched, "never selected the boundary-free program"
+    assert sim.use_bd, "floor contact did not switch boundary folds on"
+    p = np.asarray(sim.state.pos)
+    assert np.isfinite(p).all() and (p >= 0).all() and (p <= 0.99).all()
+    assert sim.dropped_frames == 0
+    assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
