@@ -145,6 +145,16 @@ class SimConfig:
     # box engine.
     skip_empty_boundary: bool = True
 
+    # Multi-chip communication strategy (only meaningful under a mesh):
+    # "auto" uses the shard_map halo engine — ONE fused flat_p-wide edge
+    # exchange per traversal (2 ppermutes) and N-sized collectives at the
+    # particle<->grid boundary (parallel/halo.py) — whenever the static
+    # shapes divide the mesh, falling back to GSPMD inference otherwise;
+    # "gspmd" always uses GSPMD inference (per-offset permutes and
+    # grid-sized all-gathers — the round-3 path, kept as the differential
+    # oracle); "shard_map" asserts the halo engine is used.
+    halo_comm: str = "auto"
+
     # --- execution engine ---
     # "dense"     : resolves to "xlab"
     # "xlab"      : sliding-box lane-major grid (ops/box.py) — the flat

@@ -37,7 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SimConfig
-from ..parallel.mesh import constrain_axis
+from ..parallel.halo import fill_read_eligible, fill_sharded, read_sharded
+from ..parallel.mesh import (constrain_axis, current_halo_mode,
+                             current_mesh, mesh_devices)
 from .dense import DenseDims
 from .grid import POS_PAD, cell_coords
 
@@ -128,10 +130,26 @@ def fill_box(idx: BoxIndex, fields: Sequence[jnp.ndarray],
     particles land on the sliced-off trash slot either way, and empty
     slots read the fill column via the sentinel.
     mode "auto": the measured-bandwidth model above (cfg.box_fill).
+
+    Under a mesh (spatial_sharding) with dividing shapes, the fill runs
+    inside shard_map with N-sized collectives only (parallel/halo.py) —
+    bitwise the same grid, without the grid-sized all-gathers GSPMD
+    infers for a sharded scatter target.
     """
     f = len(fields)
     total = box.k * box.g
     n = idx.slots.shape[0]
+    mesh = current_mesh()
+    if (mesh is not None and current_halo_mode() != "gspmd"
+            and fill_read_eligible(mesh, n, box.g)):
+        lt = total // mesh_devices(mesh)   # per-shard slot count
+        lmode = mode
+        if lmode == "auto":
+            lmode = ("gather"
+                     if f * lt / _TAKE_BW + n / _SCATTER_BW
+                     < f * n / _SCATTER_BW else "scatter")
+        return fill_sharded(idx.slots, fields, fills, box.k, box.g, mesh,
+                            lmode)
     vals = jnp.stack([jnp.asarray(x, F32) for x in fields], 0)
     if mode == "auto":
         mode = ("gather"
@@ -152,8 +170,19 @@ def fill_box(idx: BoxIndex, fields: Sequence[jnp.ndarray],
 
 def read_box(idx: BoxIndex, dense: jnp.ndarray,
              fill: float = 0.0) -> jnp.ndarray:
-    """(F, K, GB) -> (F, N) per-particle values in ONE gather."""
+    """(F, K, GB) -> (F, N) per-particle values in ONE gather.
+
+    Under a mesh with dividing shapes, the gather runs inside shard_map
+    with N-sized collectives only (parallel/halo.py): each device reads
+    its slab's slots and a bit-exact psum_scatter hands every device its
+    own particles."""
     f = dense.shape[0]
+    n = idx.slots.shape[0]
+    mesh = current_mesh()
+    if (mesh is not None and current_halo_mode() != "gspmd"
+            and fill_read_eligible(mesh, n, dense.shape[2])):
+        out = read_sharded(dense, idx.slots, mesh)
+        return jnp.where(idx.valid[None, :], out, fill)
     flat = dense.reshape(f, -1)
     out = flat[:, jnp.minimum(idx.slots, flat.shape[1] - 1)]
     return jnp.where(idx.valid[None, :], out, fill)

@@ -392,6 +392,112 @@ def column_pass_xla_sym(
         jnp.pad(acc, ((0, 0), (0, 0), (p, p))), 2)
 
 
+def column_pass_halo_sym(
+    fluid_terms: Callable,
+    bd_terms: Optional[Callable],
+    fl: jnp.ndarray,                  # (Fi, K, G) lane-major flat ghosted
+    dims: DenseDims,
+    n_out: int,
+    bd: Optional[jnp.ndarray] = None,  # (Fb, Kb, G) lane-major flat
+    dims_b: Optional[DenseDims] = None,
+    mesh=None,
+) -> jnp.ndarray:
+    """shard_map symmetric half-stencil executor with ONE fused halo
+    exchange per pass (2 ppermutes of a flat_p-wide edge), replacing
+    GSPMD's per-offset collective-permutes (~14/pass, SCALING.md §2).
+
+    Each device owns a contiguous shard [dL, dL+L) of the flat ghosted
+    cell axis (L = G / n_devices). One p-wide edge exchange per direction
+    (p = dims.flat_p, the maximum flat stencil displacement ~ one x-plane)
+    builds a local window covering [dL-p, dL+L+p); every offset slice of
+    the fold is then a LOCAL static slice. The Newton's-third-law j-side
+    partials that would land in a neighbor's shard are instead recomputed
+    locally: the i-window is extended to [dL, dL+L+p) (redundant p-wide
+    edge compute, ~p/L extra, zero extra communication), so every
+    contribution to a local output position is produced locally.
+
+    Bitwise-identical to ``column_pass_xla_sym``: the per-position fold
+    performs the same adds in the same order on the same operand bytes
+    (the wider blocks only append positions whose results are discarded;
+    reductions run along the K axes, never the cell axis). Positions read
+    beyond the global array (first/last device) see zero words whose
+    contributions vanish exactly — masses are zero there — and land only
+    on ghost-ring outputs, which are masked to the zero pad ring the
+    unsharded executor produces by construction."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as _P
+    from ..parallel.mesh import AXIS as _MAXIS, mesh_devices as _mdev
+
+    fi, k = fl.shape[0], fl.shape[1]
+    p = dims.flat_p
+    g = dims.g
+    nd = _mdev(mesh)
+    assert g % nd == 0 and g // nd >= p, "ineligible shapes for halo pass"
+    ll = g // nd
+    has_b = bd is not None and bd_terms is not None
+    if has_b:
+        assert dims_b.flat_p == p, "boundary grid must match fluid grid"
+    offd_np = _flat_offsets(dims)                # signed displacements
+    fwd = [(i, i + 1) for i in range(nd - 1)]
+    bwd = [(i + 1, i) for i in range(nd - 1)]
+
+    def local(fl_l, *bd_args):
+        d = jax.lax.axis_index(_MAXIS)
+        # fused halo: one p-wide edge each way; end devices receive zeros
+        left = jax.lax.ppermute(
+            jax.lax.slice_in_dim(fl_l, ll - p, ll, axis=2), _MAXIS, fwd)
+        right = jax.lax.ppermute(
+            jax.lax.slice_in_dim(fl_l, 0, p, axis=2), _MAXIS, bwd)
+        ext = jnp.concatenate([left, fl_l, right], 2)  # [dL-p, dL+L+p)
+        i_e = jax.lax.slice_in_dim(ext, p, 2 * p + ll, axis=2)  # [dL, dL+L+p)
+
+        def slc_f(o):
+            s = int(offd_np[o]) + p
+            return jax.lax.slice_in_dim(ext, s, s + ll + p, axis=2)
+
+        if has_b:
+            # boundary is replicated: its window [dL-p, dL+L+2p) is a local
+            # slice of the zero-padded full tensor (reads beyond the global
+            # ghosted grid occur only at junk i-positions and carry zero
+            # masses)
+            pb = jnp.pad(bd_args[0], ((0, 0), (0, 0), (p, 2 * p)))
+            ext_b = jax.lax.dynamic_slice(
+                pb, (0, 0, d * ll),
+                (pb.shape[0], pb.shape[1], ll + 3 * p))
+
+            def slc_b(o):
+                s = int(offd_np[o]) + p
+                return jax.lax.slice_in_dim(ext_b, s, s + ll + p, axis=2)
+
+        with _axes(_LANE):
+            # identical fold order to column_pass_xla_sym, on width L+p
+            acc = fluid_terms(i_e, i_e, False)[0]
+            if has_b:
+                acc = acc + bd_terms(i_e, slc_b(13))
+            for o in range(13):
+                dlt = int(offd_np[o])
+                out_i, out_j = fluid_terms(i_e, slc_f(o), True)
+                acc = acc + out_i
+                # out_j computed at i-position c belongs to c+dlt; the
+                # extended i-window makes every local target's source local
+                ojp = jnp.pad(out_j, ((0, 0), (0, 0), (p, p)))
+                acc = acc + jax.lax.slice_in_dim(
+                    ojp, p - dlt, p - dlt + ll + p, axis=2)
+                if has_b:
+                    acc = acc + (bd_terms(i_e, slc_b(o))
+                                 + bd_terms(i_e, slc_b(26 - o)))
+        core = jax.lax.slice_in_dim(acc, 0, ll, axis=2)
+        gi = d * ll + jnp.arange(ll, dtype=jnp.int32)
+        keep = (gi >= p) & (gi < g - p)          # the global zero pad ring
+        return jnp.where(keep[None, None, :], core, 0.0)
+
+    spec = _P(None, None, _MAXIS)
+    in_specs = (spec, _P(None, None, None)) if has_b else (spec,)
+    args = (fl, bd) if has_b else (fl,)
+    return shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=spec,
+                     check_vma=False)(*args)
+
+
 CHUNK_TARGET_MB = 14.0     # per-slab fluid pair-block budget when chunking
 CHUNK_MIN_PAIR_MB = 48.0   # below this, the unchunked executor runs
 CHUNK_OVERRIDE: Optional[int] = None   # tests/experiments: force a slab count
@@ -526,9 +632,21 @@ def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
     if engine == "xlab":
         engine = "xla"          # the sym executor runs the box grid as-is
     if engine == "xla":
+        mesh = current_mesh()
+        if mesh is not None:
+            from ..parallel.halo import pass_eligible
+            from ..parallel.mesh import current_halo_mode
+            mode = current_halo_mode()
+            ok = pass_eligible(mesh, dims.g, dims.flat_p) and (
+                bd is None or dims_b.flat_p == dims.flat_p)
+            if mode == "shard_map":
+                assert ok, "halo='shard_map' forced on ineligible shapes"
+            if ok and mode != "gspmd":
+                return column_pass_halo_sym(fluid_terms, bd_terms, fl,
+                                            dims, n_out, bd, dims_b, mesh)
         nchunk = (CHUNK_OVERRIDE if CHUNK_OVERRIDE is not None
                   else _auto_nchunk(fl.shape[1], dims.g - 2 * dims.flat_p))
-        if nchunk > 1 and current_mesh() is None:
+        if nchunk > 1 and mesh is None:
             return column_pass_xla_sym_chunked(
                 fluid_terms, bd_terms, fl, dims, n_out, bd, dims_b, nchunk)
         return column_pass_xla_sym(fluid_terms, bd_terms, fl, dims, n_out,

@@ -31,6 +31,16 @@ AXIS = "cells"
 
 _ACTIVE_MESH: ContextVar[Optional[Mesh]] = ContextVar("sph_mesh",
                                                       default=None)
+# Particle<->grid + halo communication strategy under a mesh:
+#   "auto"      — use the shard_map halo engine (fused +/-1-plane ppermute
+#                 halos, N-sized particle boundary collectives) whenever
+#                 the static shapes divide the mesh; GSPMD inference
+#                 otherwise (parallel/halo.py eligibility).
+#   "gspmd"     — always let GSPMD infer collectives from sharding
+#                 constraints (the round-3 path; per-offset permutes and
+#                 grid-sized all-gathers at the particle<->grid boundary).
+#   "shard_map" — require the shard_map engine (assert if ineligible).
+_HALO_MODE: ContextVar[str] = ContextVar("sph_halo_mode", default="auto")
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -41,18 +51,29 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 @contextlib.contextmanager
-def spatial_sharding(mesh: Mesh):
+def spatial_sharding(mesh: Mesh, halo: str = "auto"):
     """While active, the neighbor engine constrains per-cell tensors to be
-    sharded along ``mesh``'s 'cells' axis."""
+    sharded along ``mesh``'s 'cells' axis; ``halo`` selects the
+    communication strategy (see ``_HALO_MODE``)."""
     token = _ACTIVE_MESH.set(mesh)
+    htoken = _HALO_MODE.set(halo)
     try:
         yield
     finally:
+        _HALO_MODE.reset(htoken)
         _ACTIVE_MESH.reset(token)
 
 
 def current_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH.get()
+
+
+def current_halo_mode() -> str:
+    return _HALO_MODE.get()
+
+
+def mesh_devices(mesh: Mesh) -> int:
+    return int(np.prod(list(mesh.shape.values())))
 
 
 def constrain_cells(x: jax.Array) -> jax.Array:

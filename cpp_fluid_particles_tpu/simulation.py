@@ -205,7 +205,8 @@ class Simulation:
         spatial-sharding mesh when multi-chip, else a no-op."""
         if self.mesh is None:
             return contextlib.nullcontext()
-        return _meshmod.spatial_sharding(self.mesh)
+        return _meshmod.spatial_sharding(self.mesh,
+                                         halo=self.cfg.halo_comm)
 
     def _build_step_uncached(self) -> None:
         engine = self.engine

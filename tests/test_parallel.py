@@ -220,6 +220,99 @@ def small_block_pos():
          for i in range(6) for j in range(6) for k in range(6)], np.float32)
 
 
+def test_halo_engine_bitwise_and_fewer_permutes(setup):
+    """The shard_map halo engine (halo_comm='auto'/'shard_map') is
+    bitwise-identical to both the single-device run and the GSPMD path
+    (halo_comm='gspmd'), and its compiled step carries ~an order of
+    magnitude fewer collective-permutes (one fused p-wide edge exchange
+    per traversal instead of one permute per stencil offset) and no
+    grid-sized all-gathers at the particle<->grid boundary."""
+    from cpp_fluid_particles_tpu.models import dense_step as D
+    from cpp_fluid_particles_tpu.ops import dense as dn
+    from cpp_fluid_particles_tpu.state import boundary_positions
+
+    cfg, _, state = setup
+    bpos = boundary_positions(cfg)
+    kb = D.boundary_k(bpos, cfg)
+    dims = dn.dims_for(cfg)
+    dims_b = dn.dims_for(cfg, kb)
+    scene_d = D.build_dense_scene(cfg, bpos, kb, engine="xlab")
+    dt = jnp.float32(cfg.dt)
+    box = (12, 12, 12)     # g=14^3=2744 and N=216 both divide 8
+
+    def step(st, sd, d):
+        s2, _, m = D.wcsph_step(st, (), sd, cfg, d, dims, dims_b,
+                                engine="xlab", box=box)
+        return s2, m["box_overflow"]
+
+    ref, ov = jax.jit(step)(state, scene_d, dt)
+    assert int(np.asarray(ov)) == 0
+    mesh = parallel.make_mesh(8)
+    hlo = {}
+    outs = {}
+    for mode in ("shard_map", "gspmd"):
+        with parallel.spatial_sharding(mesh, halo=mode):
+            f = jax.jit(step)
+            hlo[mode] = f.lower(state, scene_d, dt).compile().as_text()
+            outs[mode] = f(state, scene_d, dt)[0]
+    for mode in ("shard_map", "gspmd"):
+        np.testing.assert_array_equal(np.asarray(outs[mode].pos),
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(outs[mode].vel),
+                                      np.asarray(ref.vel))
+    n_perm = {m: hlo[m].count("collective-permute-start(")
+              + hlo[m].count("collective-permute(") for m in hlo}
+    assert n_perm["shard_map"] * 3 <= n_perm["gspmd"], n_perm
+    # no all-gather result in the halo program is grid-sized (K*G words);
+    # the only gathers left are N-sized particle-boundary traffic
+    import re as _re
+    grid_words = dims.k * (box[0] + 2) * (box[1] + 2) * (box[2] + 2)
+    for line in hlo["shard_map"].splitlines():
+        if "all-gather" not in line or "=" not in line:
+            continue
+        shape = _re.search(r"\[([\d,]+)\]", line.split("=")[0])
+        if shape is None:
+            continue
+        words = int(np.prod([int(v) for v in shape.group(1).split(",")]))
+        assert words < grid_words, line
+
+
+def test_fill_read_sharded_bitwise_negative_zero():
+    """Unit: the shard_map fill/read round trip is bit-exact vs the
+    single-device scatter/gather, including stored -0.0 values (the
+    psum_scatter combine runs on bit patterns)."""
+    from cpp_fluid_particles_tpu.ops.box import BoxIndex, fill_box, read_box
+    from cpp_fluid_particles_tpu.ops.dense import DenseDims
+
+    rng = np.random.default_rng(7)
+    n, bxs = 64, (6, 6, 6)
+    box = DenseDims(*bxs, 4)
+    g, total = box.g, box.k * box.g
+    # injective valid slots + some invalid (trash) entries
+    perm = rng.permutation(total)[:n].astype(np.int32)
+    valid = rng.random(n) > 0.2
+    slots = np.where(valid, perm, total).astype(np.int32)
+    vals = rng.standard_normal((2, n)).astype(np.float32)
+    vals[0, ::5] = -0.0
+    idx = BoxIndex(slots=jnp.asarray(slots), valid=jnp.asarray(valid),
+                   origin=jnp.zeros(3, jnp.int32),
+                   ext=jnp.zeros(3, jnp.int32), overflow=jnp.int32(0),
+                   box_overflow=jnp.int32(0), max_occupancy=jnp.int32(0))
+    fields = [jnp.asarray(vals[0]), jnp.asarray(vals[1])]
+
+    def run():
+        dense = fill_box(idx, fields, [0.5, 0.0], box, mode="scatter")
+        return dense, read_box(idx, dense)
+
+    d1, r1 = jax.jit(run)()
+    with parallel.spatial_sharding(parallel.make_mesh(8)):
+        d8, r8 = jax.jit(run)()
+    np.testing.assert_array_equal(
+        np.asarray(d8).view(np.uint32), np.asarray(d1).view(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(r8).view(np.uint32), np.asarray(r1).view(np.uint32))
+
+
 def test_sharded_dense_engine_matches(setup):
     """The dense engine under x-slab spatial sharding must match the
     unsharded run exactly (GSPMD halo exchange over the ghosted grid)."""
