@@ -83,6 +83,51 @@ def test_distributed_bootstrap_noop_single_process():
     assert distributed.process_index() == 0
 
 
+def test_distributed_two_process():
+    """REAL multi-process coverage: two OS processes, each owning one CPU
+    device, bootstrap via ``distributed.ensure_initialized()`` (the env-var
+    contract), form a global 2-device mesh, and step a tiny dam scene
+    through one sharded WCSPH step. Both workers must exit 0 and print the
+    same checksum line (cross-process collective agreement)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        # one CPU device per process (conftest's 8-device flag must not leak)
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "force_host_platform_device_count" not in f)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        ok = [ln for ln in out.splitlines() if ln.startswith("DIST_OK ")]
+        assert ok, f"no DIST_OK line:\n{out}\n{err}"
+        outs.append(ok[0])
+    assert outs[0] == outs[1], f"process disagreement: {outs}"
+
+
 def test_graft_entry_contract():
     import __graft_entry__ as g
     fn, args = g.entry()
