@@ -97,6 +97,15 @@ class SimConfig:
     pbd_chebyshev_rho: float = 0.0
     dfsph_chebyshev_rho: float = 0.0
     chebyshev_start: int = 4
+    # Reproduce the reference's mid-projection re-binning semantics
+    # (src/PBDSolver.cu:154-156): particle i's 27-cell stencil is
+    # recomputed from its MOVING position every projection iteration
+    # (and in the XSPH pass) against cell ranges frozen at step start,
+    # instead of this framework's default start-of-step binning for both
+    # sides (PARITY.md divergence #2 quantifies the gap). Opt-in, oracle
+    # engine only: the per-particle re-binned traversal is irregular and
+    # not built for speed.
+    pbd_rebin_moving: bool = False
 
     # --- static capacity bounds (TPU fixed-shape requirements; no reference
     #     equivalent — the CUDA code walks dynamic cellStart ranges) ---

@@ -8,9 +8,12 @@ is replaced by initialising ``pos_last = pos`` at carry creation.
 
 Note on mid-projection neighbor candidates: the reference re-bins particle i
 by its *current* (moving) position against cell ranges sorted at step start
-(src/PBDSolver.cu:155-157); this framework keeps the start-of-step cell
-assignment for both sides. Both are approximations of the same stencil and
-differ only for particles crossing a cell boundary mid-projection.
+(src/PBDSolver.cu:155-157); this framework defaults to the start-of-step
+cell assignment for both sides. Both are approximations of the same stencil
+and differ only for particles crossing a cell boundary mid-projection
+(PARITY.md divergence #2 quantifies the gap). Setting
+``cfg.pbd_rebin_moving=True`` opts into the reference semantics in this
+oracle engine via ``_rebinned_reduce``.
 """
 
 from __future__ import annotations
@@ -22,7 +25,8 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..ops import kernels as kn
-from ..ops.grid import POS_PAD, scatter_to_grid
+from ..ops.grid import (POS_PAD, STENCIL, cell_coords, cell_id_from_coords,
+                        scatter_to_grid)
 from ..ops.neighbors import PairSource, neighbor_reduce
 from ..state import FluidState
 from . import common as C
@@ -36,6 +40,44 @@ def init_carry(state: FluidState) -> PBDCarry:
     # jnp.copy: pos_last must not alias state.pos — the step function donates
     # both input buffers, and aliased donation is rejected by the runtime.
     return PBDCarry(pos_last=jnp.copy(state.pos))
+
+
+def _rebinned_reduce(pos_now, i_fields, sources, out_init, cfg: SimConfig):
+    """Particle-major 27-stencil reduce with the i-side stencil centered on
+    each particle's CURRENT cell — the reference's mid-projection re-binning
+    (src/PBDSolver.cu:154-156: ``make_int3(posFluid[i] / cellLength)`` is
+    re-evaluated on the moving position every iteration, while the sorted
+    ``cellStart`` ranges stay frozen at step start). j-side values are read
+    from the padded grids, which hold CURRENT values in step-start slots —
+    exactly the reference's in-place-updated sorted buffers.
+
+    i_fields: name -> (N, ...) per-particle arrays. out_init: pytree of
+    (N, ...) zeros. Opt-in oracle path (cfg.pbd_rebin_moving): the
+    per-particle gather is irregular and not built for speed.
+    """
+    c_now = cell_coords(pos_now, cfg)  # (N, 3)
+    i_view = {k: jnp.expand_dims(v, 1) for k, v in i_fields.items()}
+    stencil = jnp.asarray(STENCIL)
+
+    def body(o, acc):
+        ncell = cell_id_from_coords(c_now + stencil[o], cfg)  # (N,)
+        for src in sources:
+            # sentinel/out-of-grid cells resolve to the clean pad row M
+            jslot = src.tables.cell2active[ncell]  # (N,)
+            j_raw = {k: g[jslot] for k, g in src.grids.items()}  # (N, K, ..)
+            rel = pos_now[:, None, :] - j_raw["pos"]  # (N, K, 3)
+            r = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+            contrib = src.pair_fn(i_view, j_raw, rel, r)
+            acc = jax.tree_util.tree_map(
+                lambda a, c: a + jnp.sum(c, axis=1), acc, contrib)
+        return acc
+
+    return jax.lax.fori_loop(0, 27, body, out_init)
+
+
+def _zeros_n(n: int, spec: Dict[str, bool]):
+    return {k: jnp.zeros((n, 3) if vec else (n,), jnp.float32)
+            for k, vec in spec.items()}
 
 
 def _density_lambda(fg: C.FluidGrids, scene: C.Scene, pos, cfg: SimConfig):
@@ -57,20 +99,23 @@ def _density_lambda(fg: C.FluidGrids, scene: C.Scene, pos, cfg: SimConfig):
             "slam": jnp.sum(g * g, axis=-1),
         }
 
-    acc = neighbor_reduce(
-        fg.tables,
-        {"pos": pos_g},
-        [
-            PairSource(fg.tables, {"pos": pos_g, "mass": fg.mass}, term),
-            PairSource(scene.b_tables,
-                       {"pos": scene.b_pos_grid, "mass": scene.b_mass_grid},
-                       term),
-        ],
-        C._acc_zeros(fg, {"rho": False, "gsum": True, "slam": False}),
-    )
-    rho = C._to_particles(fg, acc["rho"])
-    gsum = C._to_particles(fg, acc["gsum"])
-    slam = C._to_particles(fg, acc["slam"])
+    sources = [
+        PairSource(fg.tables, {"pos": pos_g, "mass": fg.mass}, term),
+        PairSource(scene.b_tables,
+                   {"pos": scene.b_pos_grid, "mass": scene.b_mass_grid},
+                   term),
+    ]
+    spec = {"rho": False, "gsum": True, "slam": False}
+    if cfg.pbd_rebin_moving:
+        acc = _rebinned_reduce(pos, {"pos": pos}, sources,
+                               _zeros_n(pos.shape[0], spec), cfg)
+        rho, gsum, slam = acc["rho"], acc["gsum"], acc["slam"]
+    else:
+        acc = neighbor_reduce(fg.tables, {"pos": pos_g}, sources,
+                              C._acc_zeros(fg, spec))
+        rho = C._to_particles(fg, acc["rho"])
+        gsum = C._to_particles(fg, acc["gsum"])
+        slam = C._to_particles(fg, acc["slam"])
     lam = jnp.where(
         rho > cfg.rho0,
         -(rho / cfg.rho0 - 1.0)
@@ -96,19 +141,20 @@ def _delta_pos(fg: C.FluidGrids, scene: C.Scene, pos, lam, cfg: SimConfig):
         coef = j["mass"] * i["lam"]
         return {"dp": coef[..., None] * kn.grad_w_cubic(rel, h)}
 
-    acc = neighbor_reduce(
-        fg.tables,
-        {"pos": pos_g, "lam": lam_g},
-        [
-            PairSource(fg.tables,
-                       {"pos": pos_g, "mass": fg.mass, "lam": lam_g},
-                       fluid_term),
-            PairSource(scene.b_tables,
-                       {"pos": scene.b_pos_grid, "mass": scene.b_mass_grid},
-                       boundary_term),
-        ],
-        C._acc_zeros(fg, {"dp": True}),
-    )
+    sources = [
+        PairSource(fg.tables,
+                   {"pos": pos_g, "mass": fg.mass, "lam": lam_g},
+                   fluid_term),
+        PairSource(scene.b_tables,
+                   {"pos": scene.b_pos_grid, "mass": scene.b_mass_grid},
+                   boundary_term),
+    ]
+    if cfg.pbd_rebin_moving:
+        acc = _rebinned_reduce(pos, {"pos": pos, "lam": lam}, sources,
+                               _zeros_n(pos.shape[0], {"dp": True}), cfg)
+        return acc["dp"] / cfg.rho0
+    acc = neighbor_reduce(fg.tables, {"pos": pos_g, "lam": lam_g}, sources,
+                          C._acc_zeros(fg, {"dp": True}))
     return C._to_particles(fg, acc["dp"]) / cfg.rho0
 
 
@@ -124,13 +170,17 @@ def _xsph(fg: C.FluidGrids, scene: C.Scene, pos, vel, cfg: SimConfig):
         coef = j["mass"] * kn.w_cubic(r, h)
         return {"dv": coef[..., None] * (j["vel"] - i["vel"])}
 
-    acc = neighbor_reduce(
-        fg.tables,
-        {"pos": pos_g, "vel": vel_g},
-        [PairSource(fg.tables,
-                    {"pos": pos_g, "mass": fg.mass, "vel": vel_g}, term)],
-        C._acc_zeros(fg, {"dv": True}),
-    )
+    sources = [PairSource(fg.tables,
+                          {"pos": pos_g, "mass": fg.mass, "vel": vel_g},
+                          term)]
+    if cfg.pbd_rebin_moving:
+        # the reference's XSPH stencil is also centered on the current
+        # (post-projection) position (src/PBDSolver.cu:100-115)
+        acc = _rebinned_reduce(pos, {"pos": pos, "vel": vel}, sources,
+                               _zeros_n(pos.shape[0], {"dv": True}), cfg)
+        return cfg.pbd_xsph_c * acc["dv"] / cfg.rho0
+    acc = neighbor_reduce(fg.tables, {"pos": pos_g, "vel": vel_g}, sources,
+                          C._acc_zeros(fg, {"dv": True}))
     return cfg.pbd_xsph_c * C._to_particles(fg, acc["dv"]) / cfg.rho0
 
 

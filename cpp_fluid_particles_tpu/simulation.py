@@ -114,6 +114,14 @@ class Simulation:
         if engine not in valid:
             raise ValueError(
                 f"unknown engine {engine!r}; choose from {valid}")
+        if (self.cfg.pbd_rebin_moving and solver == "pbd"
+                and engine != "reference"):
+            # the mid-projection re-bin (src/PBDSolver.cu:154-156) exists
+            # only in the oracle engine's particle-major traversal; fail
+            # loudly rather than silently ignore the fidelity flag
+            raise ValueError(
+                "pbd_rebin_moving requires engine='reference' "
+                "(oracle-only fidelity mode)")
         # Under a mesh the DEFAULT engine stays the sliding box ('xlab'):
         # with the executors' stencil slices at static offsets (unrolled
         # when a mesh is active, ops/pallas_passes.py), GSPMD partitions

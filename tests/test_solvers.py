@@ -172,6 +172,56 @@ def test_pbd_rebinning_divergence_quantified(scene):
     assert div.max() < 2.0 * sp, (
         f"re-binning divergence {div.max()/sp:.2f} sp")
 
+    # --- the opt-in solver mode (cfg.pbd_rebin_moving) reproduces the
+    # reference-side (moving-binned) numbers: the float32 oracle-engine
+    # projection with the flag on must land on the float64 moving-binned
+    # oracle, far inside the start-vs-moving divergence above ---
+    from cpp_fluid_particles_tpu.models import pbd as pbd_mod
+    # raised per-cell capacity: the 0.82-spacing compressed block packs
+    # ~1.8x rest density, overflowing SMALL_CFG's K
+    cfg_rb = CFG.replace(pbd_rebin_moving=True, max_per_cell=32)
+    pos0_f32 = pos0.astype(np.float32)
+    # bit-identical starting positions for both precisions, so the first
+    # iteration's binning decisions agree
+    p_moving32 = ref.pbd_project_binned(
+        pos0_f32.astype(np.float64), mass, bpos, bmass, CFG,
+        CFG.pbd_max_iter, rebin_moving=True)
+    fg = C.make_fluid_grids(
+        jnp.asarray(pos0_f32),
+        jnp.full((pos0.shape[0],), CFG.m0, jnp.float32), scene, cfg_rb)
+    assert int(fg.tables.overflow) == 0
+
+    @jax.jit
+    def project(p):
+        def body(_, p):
+            rho, lam = pbd_mod._density_lambda(fg, scene, p, cfg_rb)
+            dp = pbd_mod._delta_pos(fg, scene, p, lam, cfg_rb)
+            return C.enforce_boundary_pos(p + dp, cfg_rb)
+        return jax.lax.fori_loop(0, CFG.pbd_max_iter, body, p)
+
+    p_mode = np.asarray(project(jnp.asarray(pos0_f32)), np.float64)
+    d_mode = np.linalg.norm(p_mode - p_moving32, axis=1)
+    assert d_mode.max() < 0.05 * sp, (
+        f"rebin mode vs moving-binned oracle {d_mode.max()/sp:.3f} sp")
+    # and the mode genuinely switches semantics: it sits an order of
+    # magnitude closer to the moving-binned oracle than the two binning
+    # choices sit to each other
+    assert d_mode.max() < 0.1 * div.max()
+
+
+def test_pbd_rebin_moving_flag_routing():
+    """cfg.pbd_rebin_moving is oracle-engine-only: the dense engines must
+    reject it loudly (never silently ignore a fidelity flag), and the
+    reference engine must accept it and step."""
+    cfg = CFG.replace(pbd_rebin_moving=True)
+    with pytest.raises(ValueError, match="reference"):
+        cfp.Simulation(solver="pbd", cfg=cfg, fluid_pos=small_block(),
+                       warmup=False)
+    sim = cfp.Simulation(solver="pbd", cfg=cfg.replace(engine="reference"),
+                         fluid_pos=small_block(), warmup=False)
+    sim.step()
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("solver", ["wcsph", "pbd", "dfsph"])
