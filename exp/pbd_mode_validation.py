@@ -1,0 +1,110 @@
+"""Physics validation of the beyond-parity PBD modes on the real dam.
+
+VERDICT r3 #4b: the Chebyshev+tolerance mode (pbd_density_tolerance=0.01,
+pbd_chebyshev_rho=0.9 — the measured 101.5 ms/frame configuration,
+BENCHMARKS.md "Beyond parity") was only smoke-tested. This harness runs
+the FULL 300-frame dam break in three modes —
+
+  parity     — fixed-20-iteration reference contract (src/PBDSolver.cu:52)
+  tol1%      — SPlisHSPlasH-style 1% max-density-residual exit
+  tol1%+cheb — the accelerated mode on the same residual criterion
+
+— and compares trajectory/energy/density-distribution statistics over
+time: center of mass, kinetic energy, peak/mean density, the compressed
+fraction, and the settled-state density quantiles. PBD trajectories are
+chaotic particle-wise; physically meaningful equivalence is statistical:
+same impact timing, same energy envelope, same settled state, residual
+criterion respected. Numbers feed PARITY.md.
+
+Run on the TPU: python exp/pbd_mode_validation.py [frames] [chunk]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import cpp_fluid_particles_tpu as cfp
+
+
+def run_mode(name, cfg, frames, chunk):
+    sim = cfp.Simulation(solver="pbd", cfg=cfg, warmup=True)
+    trace = []
+    t0 = time.perf_counter()
+    for _ in range(frames // chunk):
+        sim.run_scan(chunk)
+        pos = np.asarray(sim.state.pos)
+        vel = np.asarray(sim.state.vel)
+        rho = np.asarray(sim.state.density) / cfg.rho0
+        assert np.isfinite(pos).all() and np.isfinite(rho).all(), name
+        trace.append({
+            "com": pos.mean(0),
+            "ke": 0.5 * cfg.m0 * float((vel ** 2).sum()),
+            "rho_max": float(rho.max()),
+            "rho_mean": float(rho.mean()),
+            "over1pct": float((rho > 1.01).mean()),
+            "vmax": float(np.abs(vel).max()),
+            "iters": float(np.asarray(sim.metrics["pbd_iters"])),
+        })
+    wall = time.perf_counter() - t0
+    # settled-state density distribution (final frame)
+    rho = np.asarray(sim.state.density) / cfg.rho0
+    q = np.quantile(rho, [0.5, 0.9, 0.99])
+    h = np.asarray(sim.state.pos)[:, 1]
+    print(f"{name:12s} wall {wall:6.1f}s  K={sim.max_per_cell} "
+          f"iters(last) {trace[-1]['iters']:.0f}  final rho q50/90/99 "
+          f"{q[0]:.4f}/{q[1]:.4f}/{q[2]:.4f}  height p95 "
+          f"{np.quantile(h, 0.95):.4f}", flush=True)
+    return trace, q, float(np.quantile(h, 0.95))
+
+
+def compare(name, base, other, cfg, chunk):
+    n = min(len(base[0]), len(other[0]))
+    b, o = base[0][:n], other[0][:n]
+    sp = cfg.spacing
+    dcom = max(np.linalg.norm(x["com"] - y["com"]) for x, y in zip(b, o))
+    kes_b = np.array([x["ke"] for x in b])
+    kes_o = np.array([x["ke"] for x in o])
+    ke_scale = kes_b.max()
+    dke = np.abs(kes_b - kes_o).max() / ke_scale
+    # impact timing: chunk index of peak KE (free fall -> impact)
+    t_b, t_o = int(kes_b.argmax()), int(kes_o.argmax())
+    drho_max = max(abs(x["rho_max"] - y["rho_max"]) for x, y in zip(b, o))
+    dover = max(abs(x["over1pct"] - y["over1pct"]) for x, y in zip(b, o))
+    dq = np.abs(base[1] - other[1]).max()
+    dh = abs(base[2] - other[2])
+    print(f"{name}: max|dCOM| {dcom / sp:.3f} sp ({dcom:.5f} m), "
+          f"max|dKE|/peak {dke * 100:.2f}%, peak-KE chunk {t_b} vs {t_o}, "
+          f"max|d rho_max| {drho_max:.4f}, max|d over1%| {dover * 100:.2f}pp, "
+          f"settled dq {dq:.4f}, d height95 {dh / sp:.3f} sp", flush=True)
+    return dict(dcom_sp=dcom / sp, dke=dke, dt_impact=abs(t_b - t_o),
+                drho_max=drho_max, dq=dq, dh_sp=dh / sp)
+
+
+def main():
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cfg = cfp.dam_break_config()
+    parity = run_mode("parity", cfg, frames, chunk)
+    tol = run_mode("tol1%", cfg.replace(pbd_density_tolerance=0.01),
+                   frames, chunk)
+    cheb = run_mode("tol1%+cheb", cfg.replace(pbd_density_tolerance=0.01,
+                                              pbd_chebyshev_rho=0.9),
+                    frames, chunk)
+    r1 = compare("tol1%      vs parity", parity, tol, cfg, chunk)
+    r2 = compare("tol1%+cheb vs parity", parity, cheb, cfg, chunk)
+    # validation bar: same impact timing, energy envelope within a few %,
+    # settled state statistically identical, no compression blow-up
+    for nm, r in (("tol1%", r1), ("tol1%+cheb", r2)):
+        ok = (r["dt_impact"] <= 1 and r["dke"] < 0.05
+              and r["drho_max"] < 0.05 and r["dq"] < 0.01
+              and r["dh_sp"] < 1.0)
+        print(f"{nm}: {'VALIDATED' if ok else 'DIVERGES'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
