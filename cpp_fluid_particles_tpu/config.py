@@ -97,6 +97,18 @@ class SimConfig:
     pbd_chebyshev_rho: float = 0.0
     dfsph_chebyshev_rho: float = 0.0
     chebyshev_start: int = 4
+    # Warm-start predictor for the PBD projection (this framework's
+    # extension, DFSPH-warm-start-inspired — src/DFSPHSolver.cu:160-210
+    # carries the stiffness sum across frames the same way): before
+    # iterating, shift positions by `scale x` the PREVIOUS frame's total
+    # projection displacement (carried per particle; zero traversals of
+    # extra cost). The projection converges to the same constraint
+    # manifold from a closer start. Only meaningful with the
+    # tolerance-based exit (pbd_density_tolerance > 0) — the parity
+    # contract is a fixed iteration count, where a different start
+    # changes the trajectory without saving work — and rejected
+    # otherwise. 0 = off (default, parity).
+    pbd_warm_start: float = 0.0
     # Reproduce the reference's mid-projection re-binning semantics
     # (src/PBDSolver.cu:154-156): particle i's 27-cell stencil is
     # recomputed from its MOVING position every projection iteration

@@ -550,23 +550,37 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
                  use_bd)
     idx, colc, fill, read = lo.idx, lo.colc, lo.fill, lo.read
     dims, dims_b, bdx = lo.dims, lo.dims_b, lo.bd
+    warm = float(cfg.pbd_warm_start) > 0.0
+    wfields = ([carry.dp_warm[:, 0], carry.dp_warm[:, 1],
+                carry.dp_warm[:, 2]] if warm else [])
+    wfill = [0.0, 0.0, 0.0] if warm else []
     if cfg.uniform_fluid_mass:
         base = fill(
             [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
              carry.pos_last[:, 0], carry.pos_last[:, 1],
-             carry.pos_last[:, 2]],
-            [POS_PAD, POS_PAD, POS_PAD, POS_PAD, POS_PAD, POS_PAD],
+             carry.pos_last[:, 2]] + wfields,
+            [POS_PAD, POS_PAD, POS_PAD, POS_PAD, POS_PAD, POS_PAD] + wfill,
         )
-        pos_d, plast_d = base[0:3], base[3:6]
+        pos_d, plast_d, dpw_d = base[0:3], base[3:6], base[6:9]
         mass_d = _uniform_mass_row(pos_d, cfg)
     else:
         base = fill(
             [state.pos[:, 0], state.pos[:, 1], state.pos[:, 2], state.mass,
              carry.pos_last[:, 0], carry.pos_last[:, 1],
-             carry.pos_last[:, 2]],
-            [POS_PAD, POS_PAD, POS_PAD, 0.0, POS_PAD, POS_PAD, POS_PAD],
+             carry.pos_last[:, 2]] + wfields,
+            [POS_PAD, POS_PAD, POS_PAD, 0.0, POS_PAD, POS_PAD, POS_PAD]
+            + wfill,
         )
-        pos_d, mass_d, plast_d = base[0:3], base[3:4], base[4:7]
+        pos_d, mass_d, plast_d, dpw_d = (base[0:3], base[3:4], base[4:7],
+                                         base[7:10])
+
+    # warm-start predictor (cfg.pbd_warm_start; config.py): start the
+    # projection from the advected positions shifted by the carried
+    # previous-frame displacement — same constraint fixed point, closer
+    # start, zero extra traversals
+    pos_adv_d = pos_d
+    if warm:
+        pos_d = _clamp_pos_only(pos_d + cfg.pbd_warm_start * dpw_d, cfg)
 
     # --- projection (src/PBDSolver.cu:225-258). The reference runs a fixed
     # maxIter=20 iterations; here the loop exits exactly when an iteration's
@@ -660,14 +674,21 @@ def pbd_step(state: FluidState, carry, scene_d: DenseScene,
     pos_d = pos_d + dt * vel_d
     pos_d, vel_d = _clamp_pos_vel(pos_d, vel_d, cfg)
 
-    out = read(jnp.concatenate(
-        [pos_d, vel_d, rho[None], plast_d], 0))
+    rows = [pos_d, vel_d, rho[None], plast_d]
+    if warm:
+        # next frame's warm carry: total projection displacement relative
+        # to this frame's advected positions (pads cancel to 0 exactly)
+        rows.append(plast_d - pos_adv_d)
+    out = read(jnp.concatenate(rows, 0))
     fb_pos, fb_vel = _fallback(state, cfg, dt)
     pos, vel = _merge_back(idx, out, fb_pos, fb_vel)
     pos_last = jnp.where(idx.valid[:, None], out[7:10].T, state.pos)
+    dp_warm = (jnp.where(idx.valid[:, None], out[10:13].T, 0.0)
+               if warm else jnp.zeros_like(state.pos))
     new_state = shard_particles(state._replace(pos=pos, vel=vel,
                                                density=out[6]))
-    new_carry = shard_particles(pbd_mod.PBDCarry(pos_last=pos_last))
+    new_carry = shard_particles(pbd_mod.PBDCarry(pos_last=pos_last,
+                                                 dp_warm=dp_warm))
     metrics = {**_base_metrics(idx, lo.touch), "pbd_iters": pbd_it}
     return new_state, new_carry, metrics
 

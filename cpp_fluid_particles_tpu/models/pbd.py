@@ -34,12 +34,14 @@ from . import common as C
 
 class PBDCarry(NamedTuple):
     pos_last: jnp.ndarray  # (N, 3) positions at previous step
+    dp_warm: jnp.ndarray   # (N, 3) previous frame's total projection shift
 
 
 def init_carry(state: FluidState) -> PBDCarry:
     # jnp.copy: pos_last must not alias state.pos — the step function donates
     # both input buffers, and aliased donation is rejected by the runtime.
-    return PBDCarry(pos_last=jnp.copy(state.pos))
+    return PBDCarry(pos_last=jnp.copy(state.pos),
+                    dp_warm=jnp.zeros_like(state.pos))
 
 
 def _rebinned_reduce(pos_now, i_fields, sources, out_init, cfg: SimConfig):
@@ -210,6 +212,14 @@ def step(
         dp = _delta_pos(fg, scene, pos, lam, cfg)
         return C.enforce_boundary_pos(pos + dp, cfg), rho, alive
 
+    # warm-start predictor (cfg.pbd_warm_start; see config.py — shift by
+    # the carried previous-frame projection displacement before iterating)
+    if cfg.pbd_warm_start > 0.0:
+        pos0 = C.enforce_boundary_pos(
+            state.pos + cfg.pbd_warm_start * carry.dp_warm, cfg)
+    else:
+        pos0 = state.pos
+
     if cfg.pbd_chebyshev_rho > 0.0:
         # Chebyshev-accelerated projection (cfg.pbd_chebyshev_rho; the
         # oracle mirror of dense_step.pbd_step's accelerated loop)
@@ -229,7 +239,7 @@ def step(
 
         pbd_it, pos, _, _, density, _ = jax.lax.while_loop(
             project_cond, project_body,
-            (jnp.int32(0), state.pos, state.pos, jnp.float32(1.0),
+            (jnp.int32(0), pos0, pos0, jnp.float32(1.0),
              state.density, jnp.bool_(True)))
     else:
         def project_cond(c):
@@ -243,8 +253,9 @@ def step(
 
         pbd_it, pos, density, _ = jax.lax.while_loop(
             project_cond, project_body,
-            (jnp.int32(0), state.pos, state.density, jnp.bool_(True))
+            (jnp.int32(0), pos0, state.density, jnp.bool_(True))
         )
+    dp_total = pos - state.pos  # next frame's warm-start carry
 
     # step 3: velocity from position delta (src/PBDSolver.cu:55-60)
     vel = (pos - carry.pos_last) / dt
@@ -271,4 +282,4 @@ def step(
         "active_cells": fg.tables.num_active,
         "pbd_iters": pbd_it,
     }
-    return new_state, PBDCarry(pos_last=pos_last), metrics
+    return new_state, PBDCarry(pos_last=pos_last, dp_warm=dp_total), metrics

@@ -122,6 +122,13 @@ class Simulation:
             raise ValueError(
                 "pbd_rebin_moving requires engine='reference' "
                 "(oracle-only fidelity mode)")
+        if (self.cfg.pbd_warm_start > 0.0 and solver == "pbd"
+                and self.cfg.pbd_density_tolerance <= 0.0):
+            # a different projection start changes parity-mode
+            # trajectories without saving any of its fixed iterations
+            raise ValueError(
+                "pbd_warm_start requires pbd_density_tolerance > 0 "
+                "(the parity contract is a fixed iteration count)")
         # Under a mesh the DEFAULT engine stays the sliding box ('xlab'):
         # with the executors' stencil slices at static offsets (unrolled
         # when a mesh is active, ops/pallas_passes.py), GSPMD partitions

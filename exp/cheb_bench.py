@@ -89,6 +89,18 @@ def main():
         ("pbd tol 1% cheb 0.9", "pbd",
          cfg.replace(pbd_density_tolerance=0.01,
                      pbd_chebyshev_rho=0.9), 0.004),
+        # round 4: Dp warm-start predictor (cfg.pbd_warm_start) — zero
+        # extra traversals; measured on the tolerance criterion, alone
+        # and composed with Chebyshev
+        ("pbd tol 1% warm 1.0", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01,
+                     pbd_warm_start=1.0), 0.004),
+        ("pbd tol1% cheb+warm", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.9,
+                     pbd_warm_start=1.0), 0.004),
+        ("pbd tol1% warm 0.5", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01,
+                     pbd_warm_start=0.5), 0.004),
     ]
     for case in cases:
         try:
