@@ -15,10 +15,17 @@ single host fetch, and subtract a measured dispatch+fetch baseline —
 equivalent to the reference's CUDA-event bracketing (src/SPHSystem.cu:131-157)
 amortised over N frames.
 
+The three main runs measure PARITY mode (the reference's own solver
+contract — fixed-20 PBD, plain Jacobi DFSPH) for an apples-to-apples
+comparison; the framework's validated fast DEFAULT (dam_break_config():
+PBD 1% tolerance exit + Chebyshev, physics-validated in
+exp/pbd_mode_validation.py) is measured by the `default_mode` rider and
+reported as `pbd_default_mode_ms_per_frame`.
+
 Output contract: the headline JSON line is printed (and flushed) IMMEDIATELY
 after the three parity-mode solver runs, so a driver timeout during the
-optional rider modes (PBD tolerance / Chebyshev / 1M) can never kill the
-round's perf record. When the riders complete, the SAME headline metric is
+optional rider modes (default mode / PBD tolerance / Chebyshev / 1M) can
+never kill the round's perf record. When the riders complete, the SAME headline metric is
 re-emitted as the final line enriched with the rider details — both lines
 parse standalone, so first-line and last-line consumers agree on the metric.
 ``--budget-min M`` (or env BENCH_BUDGET_MIN) trims the measurement windows
@@ -220,7 +227,11 @@ def main() -> int:
     results = {}
     baselines = {"wcsph": 4.4, "dfsph": 23.0, "pbd": 11.3}
     for solver, dt in [("wcsph", 0.001), ("dfsph", 0.004), ("pbd", 0.004)]:
-        sim = cfp.Simulation(solver=solver, cfg=cfp.dam_break_config(),
+        # parity mode: the reference's own solver contract (fixed-20 PBD,
+        # plain Jacobi DFSPH) — apples-to-apples with the GTX 1070 numbers;
+        # the framework's validated fast default rides below
+        sim = cfp.Simulation(solver=solver,
+                             cfg=cfp.dam_break_config(mode="parity"),
                              warmup=True)  # warmup compiles + fills density
         # under a short budget trim the window to one chain third and skip
         # the steady-state pass — coverage of fall/impact/splash shrinks
@@ -291,7 +302,7 @@ def main() -> int:
     def pbd_tol():
         sim = cfp.Simulation(
             solver="pbd",
-            cfg=cfp.dam_break_config().replace(pbd_density_tolerance=0.01),
+            cfg=cfp.dam_break_config(mode="parity").replace(pbd_density_tolerance=0.01),
             warmup=True)
         tol_ms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain,
                                    measure_steady=False)
@@ -306,7 +317,7 @@ def main() -> int:
     def pbd_cheb():
         sim = cfp.Simulation(
             solver="pbd",
-            cfg=cfp.dam_break_config().replace(pbd_density_tolerance=0.01,
+            cfg=cfp.dam_break_config(mode="parity").replace(pbd_density_tolerance=0.01,
                                                pbd_chebyshev_rho=0.9),
             warmup=True)
         cheb_ms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain,
@@ -319,7 +330,7 @@ def main() -> int:
     def dfsph_cheb():
         sim = cfp.Simulation(
             solver="dfsph",
-            cfg=cfp.dam_break_config().replace(dfsph_chebyshev_rho=0.9),
+            cfg=cfp.dam_break_config(mode="parity").replace(dfsph_chebyshev_rho=0.9),
             warmup=True)
         dcheb_ms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain,
                                      measure_steady=False)
@@ -333,7 +344,7 @@ def main() -> int:
     # carries the 8-chip projection; bench_scaled.py is the standalone
     # harness with the full detail line).
     def one_m():
-        cfg1m, pos1m = cfp.scaled_dam_scene(1_000_000)
+        cfg1m, pos1m = cfp.scaled_dam_scene(1_000_000, mode="parity")
         sim = cfp.Simulation(solver="dfsph", cfg=cfg1m, fluid_pos=pos1m,
                              warmup=False)
         for i in range(5):  # warm until the capacity config stabilises
@@ -347,6 +358,24 @@ def main() -> int:
         print(f"# dfsph @1M: {per:.0f} ms/step ({1e3/per:.2f} steps/s "
               f"single chip; v5e-8 target >10)", file=sys.stderr)
 
+    # The framework's DEFAULT configuration (dam_break_config() mode="fast":
+    # PBD 1% tolerance exit + Chebyshev, physics-validated against parity
+    # over the full dam — exp/pbd_mode_validation.py, PARITY.md #11):
+    # what a user gets out of the box. Only PBD's default differs from
+    # parity (DFSPH Chebyshev and the warm-start predictor failed
+    # validation and stay opt-in), so only PBD is re-measured here.
+    def default_mode():
+        sim = cfp.Simulation(solver="pbd", cfg=cfp.dam_break_config(),
+                             warmup=True)
+        dms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain,
+                                measure_steady=False)
+        results["pbd"]["default_mode_ms_per_frame"] = round(dms, 3)
+        results["pbd"]["default_mode_vs_baseline"] = round(11.3 / dms, 2)
+        print(f"# pbd (framework default, validated fast mode): "
+              f"{dms:.2f} ms/frame ({11.3/dms:.2f}x vs 11.3 ms baseline)",
+              file=sys.stderr)
+
+    rider("default_mode", 8.0, default_mode)
     rider("pbd_tolerance", 4.0, pbd_tol)
     rider("pbd_chebyshev", 4.0, pbd_cheb)
     rider("dfsph_chebyshev", 4.0, dfsph_cheb)

@@ -34,7 +34,9 @@ def main() -> int:
                           / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    cfg, pos = cfp.scaled_dam_scene(n_target)
+    # cheb_rho == 0 measures the parity contract (comparable across
+    # rounds); > 0 measures the accelerated mode at that rho
+    cfg, pos = cfp.scaled_dam_scene(n_target, mode="parity")
     if cheb_rho > 0.0:
         cfg = cfg.replace(dfsph_chebyshev_rho=cheb_rho,
                           pbd_chebyshev_rho=cheb_rho,

@@ -36,6 +36,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default="pbd",
                    help="wcsph|dfsph|pbd or 1|2|3 (default pbd, like the "
                         "reference)")
+    p.add_argument("--parity", action="store_true",
+                   help="run the solvers in reference-parity mode (fixed-20 "
+                        "PBD projection, plain Jacobi DFSPH) instead of the "
+                        "validated fast default (tolerance exit + Chebyshev "
+                        "+ warm start)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--dt", type=float, default=None,
                    help="timestep (default: config value 0.002)")
@@ -73,7 +78,7 @@ def run_headless(args) -> int:
         from .utils.io import load_checkpoint
         sim = load_checkpoint(args.checkpoint_in)
     else:
-        cfg = dam_break_config()
+        cfg = dam_break_config(mode="parity" if args.parity else "fast")
         if args.engine:
             cfg = cfg.replace(engine=args.engine)
         sim = Simulation(solver=args.solver, cfg=cfg)
@@ -147,7 +152,8 @@ def run_interactive(args) -> int:
     import os
     os.makedirs("frames", exist_ok=True)
     print(INSTRUCTIONS)
-    sim = Simulation(solver=args.solver, cfg=dam_break_config())
+    sim = Simulation(solver=args.solver, cfg=dam_break_config(
+        mode="parity" if args.parity else "fast"))
     cam = make_camera(args)
     timer = StepTimer()
     running = False
@@ -206,7 +212,7 @@ def run_serve(args, frames_budget=None) -> int:
     simulation loop on this thread, an HTTP viewer thread serving frames,
     stats, and key events (utils/viewer.py)."""
     from .utils import viewer
-    cfg = dam_break_config()
+    cfg = dam_break_config(mode="parity" if args.parity else "fast")
     if args.engine:
         cfg = cfg.replace(engine=args.engine)
     sim = Simulation(solver=args.solver, cfg=cfg)

@@ -74,7 +74,8 @@ def block_positions(origin, n_xyz, spacing) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def scaled_dam_scene(n_target: int, cfg_overrides=None):
+def scaled_dam_scene(n_target: int, cfg_overrides=None,
+                     mode: str = "fast"):
     """A scaled dam-break: a cube block of ~n_target particles filling
     about half the domain width (the 1M-particle benchmark scene,
     BASELINE.md). Returns (cfg, fluid_positions).
@@ -91,11 +92,12 @@ def scaled_dam_scene(n_target: int, cfg_overrides=None):
     from .config import dam_break_config
 
     side = int(round(n_target ** (1.0 / 3.0)))
-    cfg0 = dam_break_config()
+    cfg0 = dam_break_config(mode=mode)
     spacing = cfg0.cell_length / 2.0
     extent = side * spacing
     space = float(np.ceil(extent * 2.0 * 100) / 100)
-    cfg = dam_break_config(space_size=(space, space, space),
+    cfg = dam_break_config(mode=mode,
+                           space_size=(space, space, space),
                            **(cfg_overrides or {}))
     cl = cfg.cell_length
     origin = tuple(

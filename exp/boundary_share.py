@@ -81,7 +81,7 @@ def time_fn(fn, reps, iters=30):
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     sim = cfp.Simulation(solver="pbd", cfg=cfg, warmup=True)
     # advance to mid-splash (the expensive regime)
     for _ in range(5):

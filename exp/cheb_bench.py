@@ -16,7 +16,8 @@ iterations, so it is measured on the tolerance criterion. For DFSPH the
 reference itself iterates to tolerance, so acceleration is directly
 comparable.
 
-Run on the TPU: python exp/cheb_bench.py [frames]
+Run on the TPU: python exp/cheb_bench.py [frames] [case-substring]
+(the optional second arg filters cases by substring, e.g. "warm")
 """
 
 from __future__ import annotations
@@ -76,7 +77,7 @@ def run_case(name, solver, cfg, dt, frames, fetch_ms, chunk=25):
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     fetch = fetch_baseline_ms()
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     cases = [
         ("dfsph plain", "dfsph", cfg, 0.004),
         ("dfsph cheb 0.9", "dfsph",
@@ -102,6 +103,8 @@ def main():
          cfg.replace(pbd_density_tolerance=0.01,
                      pbd_warm_start=0.5), 0.004),
     ]
+    if len(sys.argv) > 2:
+        cases = [c for c in cases if sys.argv[2] in c[0]]
     for case in cases:
         try:
             run_case(*case, frames, fetch)

@@ -58,7 +58,7 @@ def time_fn(fn, args, reps=2, iters=5):
 def main():
     bx_n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    cfg, pos_np = cfp.scaled_dam_scene(1_000_000)
+    cfg, pos_np = cfp.scaled_dam_scene(1_000_000, mode="parity")
     cfg = cfg.replace(max_per_cell=k)
     n = pos_np.shape[0]
     pos = jnp.asarray(pos_np)

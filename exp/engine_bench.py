@@ -55,7 +55,7 @@ def time_fn(fn, args, reps=3, iters=30):
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     K = 12
-    cfg = cfp.dam_break_config(max_per_cell=K)
+    cfg = cfp.dam_break_config(mode="parity", max_per_cell=K)
     dims = dn.dims_for(cfg)
     pos = jnp.asarray(dam_break_positions(cfg))
     n = pos.shape[0]

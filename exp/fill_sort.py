@@ -145,10 +145,10 @@ def v4(idx_slots, fields_t, box, c):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     if n >= 500_000:
-        cfg, pos = cfp.scaled_dam_scene(n)
+        cfg, pos = cfp.scaled_dam_scene(n, mode="parity")
         pos = np.asarray(pos)
     else:
-        cfg = cfp.dam_break_config()
+        cfg = cfp.dam_break_config(mode="parity")
         sim = cfp.Simulation(solver="wcsph", cfg=cfg, warmup=True)
         sim.run_scan(125, cfg.dt)
         pos = np.asarray(sim.state.pos)

@@ -66,7 +66,7 @@ def time_pass(fn, args, reps, iters=30):
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    cfg = dam_break_config()
+    cfg = dam_break_config(mode="parity")
     K = 12
     cfg = cfg.replace(max_per_cell=K)
     dims = dn.dims_for(cfg)

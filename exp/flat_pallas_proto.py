@@ -130,7 +130,7 @@ def main():
     d = np.load("/tmp/dam_state.npz")
     pos = jnp.asarray(d["pos"])
     vel = jnp.asarray(d["vel"])
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     n = pos.shape[0]
     h = cfg.radius
     K = 24  # pallas: K must be a multiple of 8 (sublane tiling)

@@ -135,7 +135,7 @@ def sa_pass_factored(fl, bd, col_count, dims, dims_b, cfg, engine):
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     sim = cfp.Simulation(solver="pbd", cfg=cfg, warmup=True)
     for _ in range(5):
         sim.run_scan(25, 0.004)

@@ -25,7 +25,7 @@ F32 = jnp.float32
 def main():
     bx_n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     k, kb = 12, 6
-    cfg, _ = cfp.scaled_dam_scene(1_000_000)
+    cfg, _ = cfp.scaled_dam_scene(1_000_000, mode="parity")
     cfg = cfg.replace(max_per_cell=k)
     bdims = dn.DenseDims(bx_n, bx_n, bx_n, k)
     bdims_b = dn.DenseDims(bx_n, bx_n, bx_n, kb)

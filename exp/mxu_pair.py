@@ -254,7 +254,7 @@ def density_mm_zsc(fl, dims, cfg, sc, gj_rows=None, prec=jax.lax.Precision.HIGHE
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     sim = cfp.Simulation(solver="pbd", cfg=cfg, warmup=True)
     for _ in range(5):
         sim.run_scan(25, 0.004)

@@ -102,7 +102,7 @@ def analyze(pos: np.ndarray, cfg, k: int, tag: str):
 
 def main():
     import jax
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     sim = cfp.Simulation(solver="wcsph", cfg=cfg, warmup=True)
     frames = [0, 50, 100, 125, 150, 200, 250, 300]
     last = 0

@@ -117,7 +117,7 @@ def slice_window(flat, dims_a, wdims, start):
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     k_a = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     sim = cfp.Simulation(solver="pbd", cfg=cfg, warmup=True)
     for _ in range(5):
         sim.run_scan(25, 0.004)

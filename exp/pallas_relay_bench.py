@@ -56,7 +56,7 @@ def time_fn(fn, args, reps=3, iters=10):
 
 def main():
     K = 16
-    cfg = cfp.dam_break_config(max_per_cell=K)
+    cfg = cfp.dam_break_config(mode="parity", max_per_cell=K)
     dims = dn.dims_for(cfg)
     pos = jnp.asarray(dam_break_positions(cfg))
     n = pos.shape[0]

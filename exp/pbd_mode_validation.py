@@ -1,22 +1,26 @@
-"""Physics validation of the beyond-parity PBD modes on the real dam.
+"""Physics validation of the beyond-parity solver modes on the real dam.
 
 VERDICT r3 #4b: the Chebyshev+tolerance mode (pbd_density_tolerance=0.01,
 pbd_chebyshev_rho=0.9 — the measured 101.5 ms/frame configuration,
 BENCHMARKS.md "Beyond parity") was only smoke-tested. This harness runs
-the FULL 300-frame dam break in three modes —
+the FULL 300-frame dam break per solver in each mode —
 
-  parity     — fixed-20-iteration reference contract (src/PBDSolver.cu:52)
-  tol1%      — SPlisHSPlasH-style 1% max-density-residual exit
-  tol1%+cheb — the accelerated mode on the same residual criterion
+  pbd:   parity          — fixed-20-iteration contract (src/PBDSolver.cu:52)
+         tol1%           — SPlisHSPlasH-style 1% max-density-residual exit
+         tol1%+cheb      — the accelerated mode on the same criterion
+         tol1%+cheb+warm — plus the Dp warm-start predictor (round 4)
+  dfsph: parity          — plain warm-started Jacobi (src/DFSPHSolver.cu)
+         cheb0.9         — Chebyshev-extrapolated Jacobi, same criteria
 
 — and compares trajectory/energy/density-distribution statistics over
 time: center of mass, kinetic energy, peak/mean density, the compressed
-fraction, and the settled-state density quantiles. PBD trajectories are
+fraction, and the settled-state density quantiles. Trajectories are
 chaotic particle-wise; physically meaningful equivalence is statistical:
 same impact timing, same energy envelope, same settled state, residual
-criterion respected. Numbers feed PARITY.md.
+criterion respected. Numbers feed PARITY.md and gate which modes may be
+production defaults.
 
-Run on the TPU: python exp/pbd_mode_validation.py [frames] [chunk]
+Run on the TPU: python exp/pbd_mode_validation.py [solver] [frames] [chunk]
 """
 
 from __future__ import annotations
@@ -31,8 +35,8 @@ sys.path.insert(0, "/root/repo")
 import cpp_fluid_particles_tpu as cfp
 
 
-def run_mode(name, cfg, frames, chunk):
-    sim = cfp.Simulation(solver="pbd", cfg=cfg, warmup=True)
+def run_mode(name, cfg, frames, chunk, solver="pbd"):
+    sim = cfp.Simulation(solver=solver, cfg=cfg, warmup=True)
     trace = []
     t0 = time.perf_counter()
     for _ in range(frames // chunk):
@@ -48,7 +52,9 @@ def run_mode(name, cfg, frames, chunk):
             "rho_mean": float(rho.mean()),
             "over1pct": float((rho > 1.01).mean()),
             "vmax": float(np.abs(vel).max()),
-            "iters": float(np.asarray(sim.metrics["pbd_iters"])),
+            "iters": float(np.asarray(
+                sim.metrics.get("pbd_iters",
+                                sim.metrics.get("density_iters", 0)))),
         })
     wall = time.perf_counter() - t0
     # settled-state density distribution (final frame)
@@ -85,21 +91,35 @@ def compare(name, base, other, cfg, chunk):
                 drho_max=drho_max, dq=dq, dh_sp=dh / sp)
 
 
+MODES = {
+    "pbd": [
+        ("tol1%", dict(pbd_density_tolerance=0.01)),
+        ("tol1%+cheb", dict(pbd_density_tolerance=0.01,
+                            pbd_chebyshev_rho=0.9)),
+        ("tol1%+cheb+warm", dict(pbd_density_tolerance=0.01,
+                                 pbd_chebyshev_rho=0.9,
+                                 pbd_warm_start=1.0)),
+    ],
+    "dfsph": [
+        ("cheb0.9", dict(dfsph_chebyshev_rho=0.9)),
+    ],
+}
+
+
 def main():
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cfg = cfp.dam_break_config()
-    parity = run_mode("parity", cfg, frames, chunk)
-    tol = run_mode("tol1%", cfg.replace(pbd_density_tolerance=0.01),
-                   frames, chunk)
-    cheb = run_mode("tol1%+cheb", cfg.replace(pbd_density_tolerance=0.01,
-                                              pbd_chebyshev_rho=0.9),
-                    frames, chunk)
-    r1 = compare("tol1%      vs parity", parity, tol, cfg, chunk)
-    r2 = compare("tol1%+cheb vs parity", parity, cheb, cfg, chunk)
+    solver = sys.argv[1] if len(sys.argv) > 1 else "pbd"
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    cfg = cfp.dam_break_config(mode="parity")
+    parity = run_mode("parity", cfg, frames, chunk, solver)
+    results = []
+    for nm, flags in MODES[solver]:
+        run = run_mode(nm, cfg.replace(**flags), frames, chunk, solver)
+        results.append((nm, compare(f"{nm:15s} vs parity", parity, run,
+                                    cfg, chunk)))
     # validation bar: same impact timing, energy envelope within a few %,
     # settled state statistically identical, no compression blow-up
-    for nm, r in (("tol1%", r1), ("tol1%+cheb", r2)):
+    for nm, r in results:
         ok = (r["dt_impact"] <= 1 and r["dke"] < 0.05
               and r["drho_max"] < 0.05 and r["dq"] < 0.01
               and r["dh_sp"] < 1.0)

@@ -57,7 +57,7 @@ def time_fn(fn, args, reps=2, iters=5):
 
 def main():
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    cfg, pos_np = cfp.scaled_dam_scene(n_target)
+    cfg, pos_np = cfp.scaled_dam_scene(n_target, mode="parity")
     cfg = cfg.replace(max_per_cell=12)
     n = pos_np.shape[0]
     pos = jnp.asarray(pos_np)

@@ -29,7 +29,7 @@ def _child():
     from cpp_fluid_particles_tpu import parallel
 
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    cfg, pos = cfp.scaled_dam_scene(n_target)
+    cfg, pos = cfp.scaled_dam_scene(n_target, mode="parity")
     mesh = parallel.make_mesh(8)
 
     for solver in ("wcsph", "dfsph"):

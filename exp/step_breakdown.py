@@ -59,7 +59,7 @@ def main():
     d = np.load("/tmp/dam_state.npz")
     pos = jnp.asarray(d["pos"])
     vel = jnp.asarray(d["vel"])
-    cfg = cfp.dam_break_config(max_per_cell=20)
+    cfg = cfp.dam_break_config(mode="parity", max_per_cell=20)
     n = pos.shape[0]
     mass = jnp.full((n,), cfg.m0, F32)
     bpos = boundary_positions(cfg)

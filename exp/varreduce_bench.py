@@ -59,7 +59,7 @@ def main():
     d = np.load("/tmp/dam_state.npz")
     pos = jnp.asarray(d["pos"])
     vel = jnp.asarray(d["vel"])
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     n = pos.shape[0]
     h = cfg.radius
     K = 20

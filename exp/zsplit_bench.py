@@ -57,7 +57,7 @@ def time_fn(fn, args, reps=3, iters=30):
 
 
 def gen_state():
-    sim = cfp.Simulation(solver="wcsph", cfg=cfp.dam_break_config(),
+    sim = cfp.Simulation(solver="wcsph", cfg=cfp.dam_break_config(mode="parity"),
                          warmup=True)
     for _ in range(6):
         sim.run_scan(25, 0.001)
@@ -71,7 +71,7 @@ def main():
         gen_state()
     d = np.load(sys.argv[1] if len(sys.argv) > 1 else STATE)
     pos_np, vel_np = d["pos"], d["vel"]
-    cfg = cfp.dam_break_config()
+    cfg = cfp.dam_break_config(mode="parity")
     n = pos_np.shape[0]
     h = cfg.radius
     cl = cfg.cell_length

@@ -55,7 +55,7 @@ def main():
     from cpp_fluid_particles_tpu.models import common as C, wcsph
     from cpp_fluid_particles_tpu.state import make_fluid_state
 
-    cfg = cfp.dam_break_config(max_active_cells=512, max_per_cell=16)
+    cfg = cfp.dam_break_config(mode="parity", max_active_cells=512, max_per_cell=16)
     scene = C.build_scene(cfg)
     s = cfg.spacing
     pos = np.array(

@@ -10,6 +10,7 @@ import numpy as np
 import cpp_fluid_particles_tpu as cfp
 
 SMALL_CFG = cfp.dam_break_config(
+    mode="parity",
     space_size=(0.52, 0.52, 0.52),
     max_active_cells=1024,
     max_per_cell=16,

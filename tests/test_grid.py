@@ -16,7 +16,7 @@ from cpp_fluid_particles_tpu.ops.grid import (
 from cpp_fluid_particles_tpu.ops.neighbors import PairSource, neighbor_reduce
 from cpp_fluid_particles_tpu.ops import kernels as kn
 
-CFG = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+CFG = cfp.dam_break_config(mode="parity", max_active_cells=1024, max_per_cell=16)
 
 
 def rand_pos(n, seed=0, lo=0.1, hi=0.9):

@@ -22,6 +22,7 @@ from cpp_fluid_particles_tpu.ops import pallas_passes as pp
 from cpp_fluid_particles_tpu.state import boundary_positions, make_fluid_state
 
 TINY_CFG = cfp.dam_break_config(
+    mode="parity",
     space_size=(0.28, 0.28, 0.28),
     max_active_cells=512,
     max_per_cell=16,

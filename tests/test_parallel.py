@@ -15,7 +15,7 @@ from cpp_fluid_particles_tpu.state import make_fluid_state
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = cfp.dam_break_config(max_active_cells=512, max_per_cell=16)
+    cfg = cfp.dam_break_config(mode="parity", max_active_cells=512, max_per_cell=16)
     scene = C.build_scene(cfg)
     s = cfg.spacing
     pos = np.array(
@@ -147,7 +147,7 @@ def test_sharded_particle_state_100k_matches():
     from cpp_fluid_particles_tpu.ops import dense as dn
     from cpp_fluid_particles_tpu.state import boundary_positions
 
-    cfg, pos = cfp.scaled_dam_scene(110_000)
+    cfg, pos = cfp.scaled_dam_scene(110_000, mode="parity")
     assert pos.shape[0] >= 100_000
     state = make_fluid_state(pos, cfg)
     bpos = boundary_positions(cfg)

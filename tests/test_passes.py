@@ -18,7 +18,7 @@ import reference_impl as ref
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = cfp.dam_break_config(max_active_cells=2048, max_per_cell=16)
+    cfg = cfp.dam_break_config(mode="parity", max_active_cells=2048, max_per_cell=16)
     scene = C.build_scene(cfg)
     rng = np.random.default_rng(42)
     # bulk cluster + a shell near the floor so boundary terms are exercised

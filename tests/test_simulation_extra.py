@@ -112,7 +112,7 @@ def test_dfsph_chebyshev_mode():
 
 @pytest.mark.slow
 def test_scaled_dam_scene_smoke():
-    cfg, pos = cfp.scaled_dam_scene(800)
+    cfg, pos = cfp.scaled_dam_scene(800, mode="parity")
     assert abs(pos.shape[0] - 800) < 300
     assert (pos > 0).all() and (pos < np.asarray(cfg.space_size)).all()
     sim = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
@@ -205,7 +205,7 @@ def test_boundary_skip_single_step_equivalence():
     from cpp_fluid_particles_tpu.state import (boundary_positions,
                                                make_fluid_state)
 
-    cfg = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+    cfg = cfp.dam_break_config(mode="parity", max_active_cells=1024, max_per_cell=16)
     s = cfg.spacing
     # interior block, snug box: the window reaches no wall
     pos = np.array([(0.4 + s * i, 0.5 + s * j, 0.4 + s * k)
@@ -243,7 +243,7 @@ def test_boundary_skip_detector_fires_near_wall():
     from cpp_fluid_particles_tpu.state import (boundary_positions,
                                                make_fluid_state)
 
-    cfg = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+    cfg = cfp.dam_break_config(mode="parity", max_active_cells=1024, max_per_cell=16)
     s = cfg.spacing
     pos = np.array([(0.4 + s * i, 0.05 + s * j, 0.4 + s * k)
                     for i in range(4) for j in range(4) for k in range(4)],
@@ -266,7 +266,7 @@ def test_boundary_skip_lifecycle():
     bd_touch violation re-run switches boundary folds back on before the
     floor impact is committed. The committed trajectory never drops
     particles and stays contained."""
-    cfg = cfp.dam_break_config(max_active_cells=1024, max_per_cell=16)
+    cfg = cfp.dam_break_config(mode="parity", max_active_cells=1024, max_per_cell=16)
     s = cfg.spacing
     pos = np.array([(0.4 + s * i, 0.6 + s * j, 0.4 + s * k)
                     for i in range(6) for j in range(6) for k in range(6)],
