@@ -287,3 +287,34 @@ def test_boundary_skip_lifecycle():
     assert np.isfinite(p).all() and (p >= 0).all() and (p <= 0.99).all()
     assert sim.dropped_frames == 0
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
+
+
+def test_config_mode_contract():
+    """dam_break_config(mode=...): the fast default enables EXACTLY the
+    physics-validated beyond-parity flags (config.FAST_MODE_FLAGS — PBD
+    tolerance exit + Chebyshev; the measured-unstable warm start and the
+    trajectory-divergent DFSPH Chebyshev must stay off, PARITY.md
+    #11-12); parity mode zeroes them all; explicit overrides win; an
+    unknown mode rejects loudly."""
+    from cpp_fluid_particles_tpu.config import FAST_MODE_FLAGS
+
+    fast = cfp.dam_break_config()
+    assert fast.pbd_density_tolerance == 0.01
+    assert fast.pbd_chebyshev_rho == 0.9
+    assert fast.pbd_warm_start == 0.0, "unvalidated mode leaked into default"
+    assert fast.dfsph_chebyshev_rho == 0.0, "diverging mode leaked"
+    assert set(FAST_MODE_FLAGS) == {"pbd_density_tolerance",
+                                    "pbd_chebyshev_rho"}
+
+    parity = cfp.dam_break_config(mode="parity")
+    for flag in ("pbd_density_tolerance", "pbd_chebyshev_rho",
+                 "pbd_warm_start", "dfsph_chebyshev_rho"):
+        assert getattr(parity, flag) == 0.0, flag
+    # everything else identical between the modes
+    assert parity.replace(**FAST_MODE_FLAGS) == fast
+
+    over = cfp.dam_break_config(pbd_density_tolerance=0.02)
+    assert over.pbd_density_tolerance == 0.02  # override beats the mode
+
+    with pytest.raises(ValueError, match="unknown config mode"):
+        cfp.dam_break_config(mode="nope")
