@@ -275,7 +275,9 @@ def test_boundary_skip_lifecycle():
                          warmup=False)
     assert sim._bd_skippable and sim.use_bd
     switched = False
-    for _ in range(140):  # contact around frame ~115 at dt=0.002
+    # measured: the box's boundary window reaches the floor walls at
+    # frame 164 at dt=0.002 (free fall from y=0.6); 200 gives margin
+    for _ in range(200):
         sim.step()
         switched = switched or not sim.use_bd
         if int(np.asarray(sim.metrics["bd_touch"])) > 0:
