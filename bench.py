@@ -22,6 +22,13 @@ PBD 1% tolerance exit + Chebyshev, physics-validated in
 exp/pbd_mode_validation.py) is measured by the `default_mode` rider and
 reported as `pbd_default_mode_ms_per_frame`.
 
+Two averages are reported per solver: `ms_per_frame` (the filtered
+headline — chunks that paid a first-compile or capacity retry inside the
+timed window are excluded) and `all_in_ms_per_frame` (the same window
+rerun warm via Simulation.restart() with NOTHING excluded — retries,
+program switches, residual compiles — like the reference's every-frame
+average, src/main.cpp:300-306).
+
 Output contract: the headline JSON line is printed (and flushed) IMMEDIATELY
 after the three parity-mode solver runs, so a driver timeout during the
 optional rider modes (default mode / PBD tolerance / Chebyshev / 1M) can
@@ -160,6 +167,21 @@ def _avg_run_ms(sim, dt, fetch_ms, total=300, chunk=25, measure_steady=True):
     return float(np.mean(times)), float(np.mean(steady)), dirty
 
 
+def _all_in_ms(sim, dt, fetch_ms, total=300, chunk=25):
+    """The all-inclusive number (VERDICT r4 #6): restart the SAME
+    Simulation (its compiled-step cache survives restart()) and average
+    the full frame-0..total window with NOTHING excluded — capacity
+    retries, program switches, and any residual compiles all count,
+    exactly like the reference's every-frame README average
+    (src/main.cpp:300-306). "Warm cache" = the first window already
+    compiled every capacity config this trajectory visits; what remains
+    in the timed window is what sustained operation actually costs."""
+    sim.restart()
+    times = [_chain_ms(sim, chunk, dt, fetch_ms)
+             for _ in range(total // chunk)]
+    return float(np.mean(times))
+
+
 def _emit(results, chain, fetch_ms):
     """Print the headline JSON line (flushed). Called twice: right after
     the parity-mode runs (the driver-safe record) and again after the
@@ -241,6 +263,10 @@ def main() -> int:
             sim, dt, fetch_ms,
             total=(chain if tight else 3 * chain),
             measure_steady=not tight)
+        # all-inclusive rerun of the same window, warm-cache (VERDICT r4
+        # #6) — the filtered headline's cherry-picking check
+        all_in = (float("nan") if tight
+                  else _all_in_ms(sim, dt, fetch_ms, total=3 * chain))
         ok = bool(np.isfinite(np.asarray(sim.state.pos)).all())
 
         # roofline attribution at the end-of-run configuration
@@ -255,6 +281,10 @@ def main() -> int:
             "ms_per_frame": round(ms, 3),
             "steady_state_ms_per_frame": (round(steady_ms, 3)
                                           if np.isfinite(steady_ms) else None),
+            "all_in_ms_per_frame": (round(all_in, 3)
+                                    if np.isfinite(all_in) else None),
+            "all_in_vs_baseline": (round(baselines[solver] / all_in, 2)
+                                   if np.isfinite(all_in) else None),
             "fps": round(1e3 / ms, 1),
             "vs_baseline": round(baselines[solver] / ms, 2),
             "finite": ok,
@@ -270,7 +300,8 @@ def main() -> int:
         }
         print(f"# {solver}: {ms:.2f} ms/frame ({1e3/ms:.1f} FPS), "
               f"speedup vs {baselines[solver]} ms baseline: "
-              f"{baselines[solver]/ms:.2f}x | {trav:.0f} traversals, "
+              f"{baselines[solver]/ms:.2f}x | all-in "
+              f"{all_in:.2f} ms | {trav:.0f} traversals, "
               f"{results[solver]['achieved_tflops']} TFLOP/s, "
               f"K={sim.max_per_cell}", file=sys.stderr)
 

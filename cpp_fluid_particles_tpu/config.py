@@ -237,9 +237,11 @@ def dam_break_config(mode: str = "fast", **overrides) -> SimConfig:
     """The reference's only scene configuration (src/main.cpp:54-67).
 
     ``mode="fast"`` (default) enables the physics-validated
-    beyond-parity solver modes (``FAST_MODE_FLAGS``: tolerance exit,
-    Chebyshev acceleration, PBD warm start — each validated against
-    parity over the full 300-frame dam, exp/pbd_mode_validation.py).
+    beyond-parity solver modes (``FAST_MODE_FLAGS``: PBD tolerance exit
+    + Chebyshev acceleration — each validated against parity over the
+    full 300-frame dam, exp/pbd_mode_validation.py; the PBD warm-start
+    predictor and DFSPH Chebyshev failed that validation and stay
+    opt-in, see the comment above FAST_MODE_FLAGS).
     ``mode="parity"`` is the bit-for-bit reference solver contract
     (fixed-20 PBD projection, plain Jacobi DFSPH) used by the golden and
     differential tests. Explicit ``**overrides`` win over either mode.

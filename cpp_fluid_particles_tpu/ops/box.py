@@ -140,6 +140,10 @@ def fill_box(idx: BoxIndex, fields: Sequence[jnp.ndarray],
     total = box.k * box.g
     n = idx.slots.shape[0]
     mesh = current_mesh()
+    if mesh is not None and current_halo_mode() == "shard_map":
+        # forced shard_map must not silently fall back to GSPMD
+        assert fill_read_eligible(mesh, n, box.g), \
+            "halo='shard_map' forced but fill/read shapes do not divide"
     if (mesh is not None and current_halo_mode() != "gspmd"
             and fill_read_eligible(mesh, n, box.g)):
         lt = total // mesh_devices(mesh)   # per-shard slot count
@@ -179,6 +183,9 @@ def read_box(idx: BoxIndex, dense: jnp.ndarray,
     f = dense.shape[0]
     n = idx.slots.shape[0]
     mesh = current_mesh()
+    if mesh is not None and current_halo_mode() == "shard_map":
+        assert fill_read_eligible(mesh, n, dense.shape[2]), \
+            "halo='shard_map' forced but fill/read shapes do not divide"
     if (mesh is not None and current_halo_mode() != "gspmd"
             and fill_read_eligible(mesh, n, dense.shape[2])):
         out = read_sharded(dense, idx.slots, mesh)

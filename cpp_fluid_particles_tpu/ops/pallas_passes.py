@@ -469,6 +469,16 @@ def column_pass_halo_sym(
                 s = int(offd_np[o]) + p
                 return jax.lax.slice_in_dim(ext_b, s, s + ll + p, axis=2)
 
+        # i-positions outside the global interior [p, g-p) have no
+        # counterpart in the unsharded executor (its i window IS that
+        # interior); their j-side partials are exact zeros by value
+        # (zero masses) but can carry a -0.0 sign from signed factors,
+        # whereas the unsharded shift-add reads literal +0.0 from the
+        # pad — mask them to +0.0 so the sign of an exactly-zero
+        # accumulator matches bitwise (ADVICE r4 #4)
+        gi_e = d * ll + jnp.arange(ll + p, dtype=jnp.int32)
+        j_interior = ((gi_e >= p) & (gi_e < g - p))[None, None, :]
+
         with _axes(_LANE):
             # identical fold order to column_pass_xla_sym, on width L+p
             acc = fluid_terms(i_e, i_e, False)[0]
@@ -477,6 +487,7 @@ def column_pass_halo_sym(
             for o in range(13):
                 dlt = int(offd_np[o])
                 out_i, out_j = fluid_terms(i_e, slc_f(o), True)
+                out_j = jnp.where(j_interior, out_j, 0.0)
                 acc = acc + out_i
                 # out_j computed at i-position c belongs to c+dlt; the
                 # extended i-window makes every local target's source local

@@ -39,8 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--parity", action="store_true",
                    help="run the solvers in reference-parity mode (fixed-20 "
                         "PBD projection, plain Jacobi DFSPH) instead of the "
-                        "validated fast default (tolerance exit + Chebyshev "
-                        "+ warm start)")
+                        "validated fast default (PBD tolerance exit + "
+                        "Chebyshev)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--dt", type=float, default=None,
                    help="timestep (default: config value 0.002)")

@@ -60,8 +60,15 @@ def load_checkpoint(path: str):
     sim.state = FluidState(**{k: jax.numpy.asarray(v)
                               for k, v in state_kw.items()})
     if carry_leaves:
+        fresh = jax.tree_util.tree_leaves(sim.carry)
         treedef = jax.tree_util.tree_structure(sim.carry)
-        sim.carry = jax.tree_util.tree_unflatten(
-            treedef, [jax.numpy.asarray(v) for v in carry_leaves])
+        loaded = [jax.numpy.asarray(v) for v in carry_leaves]
+        if len(loaded) < len(fresh):
+            # forward-compat: a carry that gained leaves since the
+            # checkpoint was written (e.g. PBDCarry.dp_warm in round 4)
+            # resumes with the new leaves at their init value
+            loaded = loaded + [jax.numpy.zeros_like(v)
+                               for v in fresh[len(loaded):]]
+        sim.carry = jax.tree_util.tree_unflatten(treedef, loaded)
     sim.frame = meta["frame"]
     return sim
