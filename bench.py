@@ -406,6 +406,25 @@ def main() -> int:
               f"{dms:.2f} ms/frame ({11.3/dms:.2f}x vs 11.3 ms baseline)",
               file=sys.stderr)
 
+    # Occupancy-class split riders (VERDICT r4 #1: the two-tier K
+    # program, ops/split.py — parity physics, float-close executor):
+    # the end-to-end 300-frame dam measurement next to the plain
+    # single-tier headline.
+    def split_mode(solver, dt, baseline):
+        sim = cfp.Simulation(
+            solver=solver,
+            cfg=cfp.dam_break_config(mode="parity", occupancy_split=True),
+            warmup=True)
+        sms, _, _ = _avg_run_ms(sim, dt, fetch_ms, total=3 * chain,
+                                measure_steady=False)
+        results[solver]["split_ms_per_frame"] = round(sms, 3)
+        results[solver]["split_vs_baseline"] = round(baseline / sms, 2)
+        print(f"# {solver} (occupancy split): {sms:.2f} ms/frame "
+              f"({baseline/sms:.2f}x vs {baseline} ms baseline), "
+              f"split_on={sim.split_on} wbox={sim.wbox}", file=sys.stderr)
+
+    rider("wcsph_split", 4.0, lambda: split_mode("wcsph", 0.001, 4.4))
+    rider("pbd_split", 6.0, lambda: split_mode("pbd", 0.004, 11.3))
     rider("default_mode", 8.0, default_mode)
     rider("pbd_tolerance", 4.0, pbd_tol)
     rider("pbd_chebyshev", 4.0, pbd_cheb)

@@ -97,6 +97,13 @@ class SimConfig:
     pbd_chebyshev_rho: float = 0.0
     dfsph_chebyshev_rho: float = 0.0
     chebyshev_start: int = 4
+    # Restrict DFSPH Chebyshev extrapolation to the DENSITY solve (the
+    # divergence solve runs plain warm-started Jacobi). The round-4
+    # validation showed dfsph_chebyshev_rho=0.9 applied to BOTH solves
+    # diverges trajectory-wise on the dam (PARITY.md #11); the round-5
+    # sweep (exp/dfsph_sweep.py) explores gentler rho and density-only
+    # application through the same full-dam envelopes.
+    dfsph_cheb_density_only: bool = False
     # Warm-start predictor for the PBD projection (this framework's
     # extension, DFSPH-warm-start-inspired — src/DFSPHSolver.cu:160-210
     # carries the stiffness sum across frames the same way): before
@@ -165,6 +172,24 @@ class SimConfig:
     # frame 0 and never switches). Requires auto_capacity + the sliding
     # box engine.
     skip_empty_boundary: bool = True
+
+    # Occupancy-class split (ops/split.py, VERDICT r4 #1): run the
+    # sliding-box engine as two tiers — the box truncated to `split_k_a`
+    # slot rows (complete for the ~90% of cells holding <= K_a) plus a
+    # small overflow window carrying only ranks >= K_a — paying
+    # K_a^2-cost traversals over the box instead of K^2 while the splash
+    # escalates K. Simulation auto-selects the split program per chunk
+    # (occupancy + window-volume heuristic with hysteresis, like
+    # skip_empty_boundary) under the same no-drop retry contract: the
+    # window size is a third adaptive capacity axis next to K and the
+    # box. Results are float-close to the single-tier engine (pair sums
+    # regrouped), not bitwise — so the flag is opt-in and the parity /
+    # golden contracts keep it off. WCSPH/PBD only (the traversal-bound
+    # solvers); single-chip only.
+    occupancy_split: bool = False
+    # Class-A slot rows when occupancy_split is on (exp/occupancy_split.py
+    # measured +12-40% per-pass at K_a=8-12 against splash K=18-22).
+    split_k_a: int = 10
 
     # Multi-chip communication strategy (only meaningful under a mesh):
     # "auto" uses the shard_map halo engine — ONE fused flat_p-wide edge

@@ -108,21 +108,26 @@ def _base_metrics(idx, touch=None):
              "box_overflow": idx.box_overflow,
              "box_ext": idx.ext,
              "active_cells": jnp.prod(idx.ext),
-             "max_occupancy": idx.max_occupancy}
+             "max_occupancy": idx.max_occupancy,
+             "win_ext": idx.hi_ext}
     else:
         m = {"grid_overflow": idx.overflow,
              "box_overflow": jnp.int32(0),
              "box_ext": jnp.zeros((3,), jnp.int32),
              "active_cells": jnp.sum(idx.col_count > 0),
-             "max_occupancy": idx.max_occupancy}
+             "max_occupancy": idx.max_occupancy,
+             "win_ext": jnp.zeros((3,), jnp.int32)}
     m["bd_touch"] = jnp.int32(1) if touch is None else touch
+    # the plain programs never window-overflow; win_ext carries the
+    # over-K_a cell extents that drive the occupancy-split policy
+    m["win_overflow"] = jnp.int32(0)
     # packed copy of the auto-capacity scalars: ONE host fetch syncs the
     # step and reads all of them (each separate fetch is a full relay
     # round trip, ~45 ms on the tunneled runtime)
     m["capacity"] = jnp.concatenate([
         jnp.stack([m["grid_overflow"], m["box_overflow"],
                    m["max_occupancy"]]), m["box_ext"],
-        m["bd_touch"][None]])
+        m["bd_touch"][None], m["win_overflow"][None], m["win_ext"]])
     return m
 
 
@@ -414,8 +419,11 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
     err0, stiff0 = div_error(vel_d)
 
     cheb2 = float(cfg.dfsph_chebyshev_rho) ** 2
+    # density-only application (cfg.dfsph_cheb_density_only): divergence
+    # solve stays plain warm-started Jacobi
+    cheb2_div = 0.0 if cfg.dfsph_cheb_density_only else cheb2
 
-    if cheb2 > 0.0:
+    if cheb2_div > 0.0:
         # Chebyshev-accelerated Jacobi (cfg.dfsph_chebyshev_rho; see
         # config.py) — extrapolates the velocity iterate of both solves
         def div_cond(c):
@@ -426,7 +434,8 @@ def dfsph_step(state: FluidState, carry, scene_d: DenseScene,
         def div_body(c):
             it, v, v_prev, omega, s, w, _ = c
             v_new = v + sa_pass(s)
-            omega = _cheb_next(it + 1, omega, cheb2, cfg.chebyshev_start)
+            omega = _cheb_next(it + 1, omega, cheb2_div,
+                               cfg.chebyshev_start)
             v_acc = omega * (v_new - v_prev) + v_prev
             err, s = div_error(v_acc)
             return (it + 1, v_acc, v, omega, s, w + s,

@@ -56,6 +56,10 @@ class BoxIndex(NamedTuple):
     overflow: jnp.ndarray    # () int32 dropped by the per-cell bound K
     box_overflow: jnp.ndarray  # () int32 in-domain fluid outside the box
     max_occupancy: jnp.ndarray  # () int32 fullest cell this step
+    hi_ext: jnp.ndarray      # (3,) int32 extents (+1 margin) of cells
+    #                          holding > cfg.split_k_a particles — feeds
+    #                          Simulation's occupancy-split activation
+    #                          policy (zeros when none)
 
 
 def build_box_index(pos: jnp.ndarray, cfg: SimConfig, full: DenseDims,
@@ -103,9 +107,14 @@ def build_box_index(pos: jnp.ndarray, cfg: SimConfig, full: DenseDims,
     box_overflow = jnp.sum(inb & ~inbox).astype(jnp.int32)
     overflow = jnp.sum(inbox & (rank >= box.k)).astype(jnp.int32)
     max_occ = (jnp.max(jnp.where(inb, rank, -1)) + 1).astype(jnp.int32)
+    # extents of the over-K_a cells (occupancy-split activation signal)
+    hi = inbox & (rank >= cfg.split_k_a)
+    hlo = jnp.min(jnp.where(hi[:, None], rel, big), axis=0) - 1
+    hhi = jnp.max(jnp.where(hi[:, None], rel, -big), axis=0) + 1
+    hi_ext = jnp.maximum(hhi - hlo + 1, 0).astype(jnp.int32)
     return BoxIndex(slots=slots, valid=valid, origin=origin, ext=ext,
                     overflow=overflow, box_overflow=box_overflow,
-                    max_occupancy=max_occ)
+                    max_occupancy=max_occ, hi_ext=hi_ext)
 
 
 # measured on the v5e chip (exp/fill_sort.py, exp/gather_bw.py): scatter

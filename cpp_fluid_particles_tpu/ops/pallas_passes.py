@@ -209,6 +209,18 @@ _LANE = _Conv(
                            F32),
 )
 
+_LANE5 = _Conv(
+    # 5-D cell-space variant of _LANE: pair block (..., K_i, K_j, X, Y, Z)
+    # with the three cell axes trailing — the 2-D-mesh executor's layout
+    # (GX and GZ shardable independently)
+    ii=lambda v: v[..., :, None, :, :, :],
+    jb=lambda v: v[..., None, :, :, :, :],
+    si=lambda x: jnp.sum(x, -4),
+    sj=lambda x: jnp.sum(x, -5),
+    zi=lambda r: jnp.zeros(r.shape[:-5] + r.shape[-5:-4] + r.shape[-3:],
+                           F32),
+)
+
 _AX = _SLOT
 
 
@@ -612,6 +624,89 @@ def column_pass_xla_sym_chunked(
     return acc
 
 
+def column_pass_xla_onesided(
+    body: Callable,
+    i_fl: jnp.ndarray,                # (Fi, K_i, G) lane-major flat ghosted
+    dims: DenseDims,                  # geometry of BOTH operands (same
+    #                                   ghosted cell extents; K from shapes)
+    n_out: int,
+    j: jnp.ndarray,                   # (Fj, K_j, G) lane-major flat ghosted
+    dims_j: DenseDims,
+) -> jnp.ndarray:
+    """Plain 27-offset ONE-SIDED lane-major executor: i reads from
+    ``i_fl``, j candidates from ``j`` only — the cross-class folds of the
+    occupancy split (A<-B, B<-boundary). ``body(i, jb) -> (n_out, K_i, W)``
+    in the LANE convention (use ``fluid_terms(i, jb, False)[0]`` for a
+    one-directional fluid contribution)."""
+    assert dims_j.gy == dims.gy and dims_j.gz == dims.gz \
+        and dims_j.gx == dims.gx, "operands must share cell geometry"
+    k = i_fl.shape[1]
+    p = dims.flat_p
+    g = dims.g
+    w = g - 2 * p
+    i_flat = jax.lax.slice_in_dim(i_fl, p, p + w, axis=2)
+    offs = jnp.asarray(_flat_offsets(dims) + p)
+
+    with _axes(_LANE):
+        def fold(o, acc):
+            jb_o = jax.lax.dynamic_slice(
+                j, (0, 0, offs[o]), (j.shape[0], dims_j.k, w))
+            return acc + body(i_flat, jb_o)
+
+        acc = jax.lax.fori_loop(
+            0, 27, fold, jnp.zeros((n_out, k, w), F32))
+    return jnp.pad(acc, ((0, 0), (0, 0), (p, p)))
+
+
+def _run_split(fluid_terms, bd_terms, fl, bd, sd, dims_b, n_out):
+    """Occupancy-class split execution of one pass (ops/split.py;
+    measured exp/occupancy_split.py, VERDICT r4 #1). Five folds cover
+    every pair class exactly once:
+
+      1. AA + A<-boundary : symmetric half-stencil over the box at K_a
+         (K_a^2 pair rows instead of K^2 — the whole point)
+      2. BB               : symmetric half-stencil over the window
+      3. B<-A             : one-sided 27-offset fold, j = the window
+         slice of box A (rides fold 2 through the executor's bd path)
+      4. B<-boundary      : one-sided fold over the boundary window
+      5. A<-B             : one-sided fold added back into the box result
+
+    Pair sums are regrouped vs the single-tier executor (A receives its
+    B-neighbors in a separate fold), so results are float-close, not
+    bitwise. Single-chip only."""
+    from . import split as spl
+
+    assert current_mesh() is None, "occupancy split is single-chip"
+    da, dw, start = sd.a, sd.w, sd.start
+    dwa = DenseDims(dw.cx, dw.cy, dw.cz, da.k)
+    has_b = bd is not None and bd_terms is not None
+
+    # 1. AA + A<-bd over the full box at K_a (recursion picks up the
+    #    slab-chunked variant for large boxes)
+    out_a = _run(fluid_terms, bd_terms if has_b else None, fl.a,
+                 bd if has_b else None, None, da, dims_b, n_out, "xla")
+
+    a_win = spl.slice_window(fl.a, da, dwa, start)
+
+    def fluid_os(i, jb):
+        return fluid_terms(i, jb, False)[0]
+
+    # 2+3. BB (sym) + B<-A (all 27 offsets through the one-sided bd fold)
+    out_b = column_pass_xla_sym(fluid_terms, fluid_os, fl.b, dw, n_out,
+                                bd=a_win, dims_b=dwa)
+    # 4. B<-boundary over the boundary window
+    if has_b:
+        dwb = DenseDims(dw.cx, dw.cy, dw.cz, dims_b.k)
+        bd_win = spl.slice_window(bd, dims_b, dwb, start)
+        out_b = out_b + column_pass_xla_onesided(
+            bd_terms, fl.b, dw, n_out, bd_win, dwb)
+    # 5. A<-B, accumulated into the box result at the window origin
+    out_aw = column_pass_xla_onesided(fluid_os, a_win, dwa, n_out, fl.b,
+                                      dw)
+    out_a = spl.add_window(out_a, out_aw, da, dwa, start)
+    return spl.SP(out_a, out_b)
+
+
 def _std_body(fluid_terms, bd_terms):
     """Combine term functions into the (i, j, jb) body used by the Pallas
     and 27-offset executors."""
@@ -637,9 +732,21 @@ def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
     is just a smaller ghosted grid). bd: for the XLA executors the
     lane-major flat boundary dense (Fb, Kb, G); for 'pallas' / 'interpret'
     the PREBUILT candidate tensor (NC, Fb, CZ, 27Kb) from build_j.
-    Returns a lane-major flat (n_out, K, G) result."""
+    Returns a lane-major flat (n_out, K, G) result.
+
+    Occupancy split (ops/split.py): when ``dims`` is a SplitDims (fl then
+    an SP or tuple of SPs), the pass runs ``_run_split`` and returns an
+    SP of per-tier results."""
+    from . import split as _spl
     if isinstance(fl, tuple):
-        fl = jnp.concatenate(fl, 0)
+        if any(isinstance(x, _spl.SP) for x in fl):
+            fl = _spl.SP(jnp.concatenate([x.a for x in fl], 0),
+                         jnp.concatenate([x.b for x in fl], 0))
+        else:
+            fl = jnp.concatenate(fl, 0)
+    if isinstance(dims, _spl.SplitDims):
+        return _run_split(fluid_terms, bd_terms, fl, bd, dims, dims_b,
+                          n_out)
     if engine == "xlab":
         engine = "xla"          # the sym executor runs the box grid as-is
     if engine == "xla":

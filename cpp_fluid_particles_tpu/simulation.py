@@ -169,6 +169,22 @@ class Simulation:
         self._bd_skippable = (self.cfg.skip_empty_boundary
                               and self.auto_capacity
                               and engine in ("dense", "xlab"))
+        # occupancy-class split program selection (cfg.occupancy_split,
+        # ops/split.py): while the splash escalates K, a two-tier program
+        # (box truncated to split_k_a rows + an overflow window) replaces
+        # the K^2 traversal; the window size is a third adaptive capacity
+        # axis under the same no-drop retry contract. Selected per chunk
+        # from measured occupancy + over-K_a cell extents with hysteresis
+        # (like use_bd); any window-overflowing chunk is re-run from the
+        # pre-chunk state with a refitted window (or the plain program).
+        self.split_on = False
+        self.wbox: Optional[Tuple[int, int, int]] = None
+        self._split_votes = 0
+        self._split_capable = (self.cfg.occupancy_split
+                               and self.auto_capacity
+                               and engine in ("dense", "xlab")
+                               and self.solver_name in ("wcsph", "pbd")
+                               and self.mesh is None)
         self._boundary_pos_arg = boundary_pos
         # restart() re-invokes __init__ with these (keys 1/2/3 rebuild the
         # same scene, src/main.cpp:223-239 — including a custom one)
@@ -203,7 +219,7 @@ class Simulation:
         # to get a DIFFERENT program for the same (K, box).
         from .ops import pallas_passes as _pp
         key = (self.solver_name, self.engine, self.max_per_cell, self.box,
-               _pp.CHUNK_BIAS, self.use_bd)
+               _pp.CHUNK_BIAS, self.use_bd, self.split_on, self.wbox)
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}
@@ -269,10 +285,22 @@ class Simulation:
 
             use_bd = self.use_bd
 
-            def _step(state, carry, scene, dt):
-                return dense_solver_step(state, carry, scene, cfg_, dt,
-                                         dims, dims_b, engine=exec_engine,
-                                         box=box, use_bd=use_bd)
+            if self.split_on:
+                from .models import split_step
+                assert exec_engine == "xlab" and self.wbox is not None \
+                    and self.max_per_cell > cfg_.split_k_a
+                split_fn = split_step.SPLIT_STEPS[self.solver_name]
+                wbox, k_a = self.wbox, cfg_.split_k_a
+
+                def _step(state, carry, scene, dt):
+                    return split_fn(state, carry, scene, cfg_, dt,
+                                    dims, dims_b, box=box, wbox=wbox,
+                                    k_a=k_a, use_bd=use_bd)
+            else:
+                def _step(state, carry, scene, dt):
+                    return dense_solver_step(
+                        state, carry, scene, cfg_, dt, dims, dims_b,
+                        engine=exec_engine, box=box, use_bd=use_bd)
 
         donate_args = (0, 1) if self._donate else ()
         self._raw_step = _step
@@ -326,6 +354,31 @@ class Simulation:
     def _fit_k(occ: int, headroom: float) -> int:
         return max(8, int(np.ceil(occ * headroom / 2)) * 2)
 
+    def _fit_wbox(self, wext) -> Tuple[int, int, int]:
+        """Overflow-window size from the measured over-K_a extents
+        (which already carry a one-cell margin per side): +2 slosh
+        headroom, multiples of 4, capped at the box."""
+        out = []
+        for e, b in zip(wext, self.box):
+            e = max(int(e), 4) + 2
+            out.append(int(min(b, int(np.ceil(e / 4)) * 4)))
+        return tuple(out)
+
+    def _grow_window(self, wext) -> None:
+        """A split chunk reported window overflow: refit the window to
+        the measured extents (never shrinking, +4 minimum growth); if it
+        cannot grow further, fall back to the plain program — either way
+        the retry cannot drop particles."""
+        fit = self._fit_wbox(wext)
+        new = tuple(min(b, max(f, w + 4))
+                    for f, w, b in zip(fit, self.wbox, self.box))
+        if new == self.wbox:
+            self.split_on = False
+        else:
+            self.wbox = new
+        self._split_votes = 0
+        self._build_step()
+
     def _bump_capacity(self, reason: str = "k", occ: int = 0,
                        ext=None) -> bool:
         """Escalate a capacity bound; False if maxed. reason: 'k' =
@@ -353,13 +406,16 @@ class Simulation:
         self._build_step()
         return True
 
-    def _maybe_downshift(self, occ: int, ext=None, bd_t: int = 1) -> None:
+    def _maybe_downshift(self, occ: int, ext=None, bd_t: int = 1,
+                         wext=(0, 0, 0)) -> None:
         """Shift K / the box back down after sustained calm (occupancy or
         extents well under the current bound) — reclaims the pair-cost
         factor once a splash has settled. Also votes the boundary-skip
         program in after consecutive boundary-free chunks
         (cfg.skip_empty_boundary; switching back ON is not a vote — any
-        violating chunk is re-run immediately, see step())."""
+        violating chunk is re-run immediately, see step()), and the
+        occupancy-split program in/out from the measured over-K_a cell
+        extents (cfg.occupancy_split)."""
         if self._bd_skippable and self.use_bd:
             if bd_t == 0:
                 self._bd_votes += 1
@@ -384,19 +440,69 @@ class Simulation:
             if self._down_votes >= self.DOWN_VOTES:
                 if want_k:
                     self.max_per_cell = fit_k
+                    if self.split_on \
+                            and self.max_per_cell <= self.cfg.split_k_a:
+                        # class B would be empty (or ill-formed): the
+                        # plain program at the shrunk K is the right one
+                        self.split_on = False
+                        self._split_votes = 0
                 if want_box:
                     self.box = fit_box
+                    if self.split_on:
+                        # keep the window inside the shrunk box
+                        self.wbox = tuple(
+                            min(w, b) for w, b in zip(self.wbox, self.box))
                 self._down_votes = 0
                 self._build_step()
         else:
             self._down_votes = 0
+        self._maybe_switch_split(occ, wext)
+
+    def _maybe_switch_split(self, occ: int, wext) -> None:
+        """Occupancy-split program selection (cfg.occupancy_split):
+        engage the two-tier program while cells exceed K_a AND the
+        overflow region stays a modest fraction of the box (a window
+        covering most of the box pays the split's extra window folds for
+        no K_a^2 saving — pre-impact, the resting dam block exceeds K_a
+        everywhere and correctly stays plain). Hysteresis (DOWN_VOTES
+        consecutive chunks) like the boundary-skip program; window
+        refits on activation, growth happens through the retry contract
+        (_grow_window), shrink through re-activation after calm."""
+        if not self._split_capable or self.box is None:
+            return
+        k_a = self.cfg.split_k_a
+        has_hi = min(wext) > 0
+        frac = (float(np.prod(wext)) / float(np.prod(self.box))
+                if has_hi else 0.0)
+        want = (has_hi and occ >= k_a + 2 and frac <= 0.5
+                and self.max_per_cell > k_a)
+        shrink_wbox = None
+        if want and self.split_on:
+            # sustained calm: refit a much-too-large window downward
+            fit = self._fit_wbox(wext)
+            if sum(w - f for w, f in zip(self.wbox, fit)) >= 8:
+                shrink_wbox = fit
+        if want != self.split_on or shrink_wbox is not None:
+            self._split_votes += 1
+            if self._split_votes >= self.DOWN_VOTES:
+                if want and not self.split_on:
+                    self.wbox = self._fit_wbox(wext)
+                elif shrink_wbox is not None:
+                    self.wbox = shrink_wbox
+                self.split_on = want
+                self._split_votes = 0
+                self._build_step()
+        else:
+            self._split_votes = 0
 
     # ------------------------------------------------------------------
     @property
     def config_key(self):
-        """Current capacity configuration (engine, K, box) — step programs
-        are compiled and cached per key."""
-        return (self.engine, self.max_per_cell, self.box)
+        """Current capacity + program configuration — step programs are
+        compiled and cached per key (bench.py keys chunk cleanliness on
+        this, so every program-selection axis must appear)."""
+        return (self.engine, self.max_per_cell, self.box, self.use_bd,
+                self.split_on, self.wbox)
 
     @property
     def fluid_size(self) -> int:
@@ -435,18 +541,22 @@ class Simulation:
 
     @staticmethod
     def _overflows(metrics):
-        """-> (k_overflow, box_overflow, max_occupancy, ext, bd_touch)
-        from ONE host fetch of the packed capacity vector. bd_touch
-        defaults to 1 ("boundary present") for engines without the
-        detector."""
+        """-> (k_overflow, box_overflow, max_occupancy, ext, bd_touch,
+        win_overflow, win_ext) from ONE host fetch of the packed capacity
+        vector. bd_touch defaults to 1 ("boundary present") and the
+        window fields to 0 for engines without the detectors. win_ext is
+        the over-K_a cell extents (+margin): the split program's adaptive
+        window axis, and the plain program's split-activation signal."""
         if "capacity" in metrics:
             v = [int(x) for x in np.asarray(metrics["capacity"])]
             bd_t = v[6] if len(v) > 6 else 1
-            return v[0], v[1], v[2], tuple(v[3:6]), bd_t
+            ov_w = v[7] if len(v) > 7 else 0
+            wext = tuple(v[8:11]) if len(v) > 10 else (0, 0, 0)
+            return v[0], v[1], v[2], tuple(v[3:6]), bd_t, ov_w, wext
         ov_k = int(np.asarray(metrics["grid_overflow"]))
         ov_b = int(np.asarray(metrics.get("box_overflow", 0)))
         occ = int(np.asarray(metrics.get("max_occupancy", 0)))
-        return ov_k, ov_b, occ, (0, 0, 0), 1
+        return ov_k, ov_b, occ, (0, 0, 0), 1, 0, (0, 0, 0)
 
     def _call_compiled(self, fn, *args):
         """Invoke a compiled step, retrying at perturbed capacity configs
@@ -556,9 +666,10 @@ class Simulation:
         fetch_ms = self._fetch_baseline_ms()
         need_backup = self.nan_rollback or self.auto_capacity
         backup = self._backup() if need_backup else None
-        state, carry, metrics, (ov_k, ov_b, occ, ext, bd_t), ms = \
+        state, carry, metrics, \
+            (ov_k, ov_b, occ, ext, bd_t, ov_w, wext), ms = \
             self._run_step_once(dt, fetch_ms)
-        while self.auto_capacity and (ov_k > 0 or ov_b > 0
+        while self.auto_capacity and (ov_k > 0 or ov_b > 0 or ov_w > 0
                                       or (not self.use_bd and bd_t > 0)):
             # restore FIRST: the failed call donated the old state buffers
             # and the rebuild may inspect self.state (the commit below the
@@ -570,15 +681,20 @@ class Simulation:
                 self.use_bd = True
                 self._bd_votes = 0
                 self._build_step()
-            elif not self._bump_capacity("box" if ov_b > 0 else "k",
-                                         occ=occ, ext=ext):
-                # capacity exhausted: the kept result DROPS particles —
-                # the no-drop contract is broken, so fail loudly
-                self._warn_dropping(1, ov_k, ov_b, occ)
-                break
+            elif ov_k > 0 or ov_b > 0:
+                if not self._bump_capacity("box" if ov_b > 0 else "k",
+                                           occ=occ, ext=ext):
+                    # capacity exhausted: the kept result DROPS particles
+                    # — the no-drop contract is broken, so fail loudly
+                    self._warn_dropping(1, ov_k, ov_b, occ)
+                    break
+            else:
+                # split-program window overflow: refit or fall back
+                self._grow_window(wext)
             self.retries += 1
             backup = self._backup()
-            state, carry, metrics, (ov_k, ov_b, occ, ext, bd_t), ms = \
+            state, carry, metrics, \
+                (ov_k, ov_b, occ, ext, bd_t, ov_w, wext), ms = \
                 self._run_step_once(dt, fetch_ms)
         if self.nan_rollback:
             from .utils.metrics import nan_guard
@@ -592,7 +708,7 @@ class Simulation:
         self.metrics = metrics
         self.frame += 1
         self.total_ms += ms
-        self._maybe_downshift(occ, ext, bd_t)
+        self._maybe_downshift(occ, ext, bd_t, wext)
         return ms
 
     def run(self, n_steps: int, dt: Optional[float] = None) -> Dict[str, Any]:
@@ -633,16 +749,20 @@ class Simulation:
                     # overflow anywhere in the chunk must trigger the
                     # auto-capacity retry, not just on the last frame
                     for key in ("grid_overflow", "box_overflow",
-                                "max_occupancy", "box_ext", "bd_touch"):
+                                "max_occupancy", "box_ext", "bd_touch",
+                                "win_overflow", "win_ext"):
                         if key in ms:
                             last[key] = jnp.max(ms[key], axis=0)
                     if "capacity" in ms:
-                        last["capacity"] = jnp.concatenate([
-                            jnp.stack([last["grid_overflow"],
-                                       last["box_overflow"],
-                                       last["max_occupancy"]]),
-                            last["box_ext"],
-                            last["bd_touch"][None]])
+                        parts = [jnp.stack([last["grid_overflow"],
+                                            last["box_overflow"],
+                                            last["max_occupancy"]]),
+                                 last["box_ext"],
+                                 last["bd_touch"][None]]
+                        if "win_overflow" in last:
+                            parts += [last["win_overflow"][None],
+                                      last["win_ext"]]
+                        last["capacity"] = jnp.concatenate(parts)
                     return st, ca, last
 
                 self._multi_cache[n] = jax.jit(multi, donate_argnums=(0, 1))
@@ -653,10 +773,10 @@ class Simulation:
             t0 = time.perf_counter()
             st, ca, m = self._call_compiled(
                 lambda: compiled(n_steps), jnp.float32(dt))
-            ov_k, ov_b, occ, ext, bd_t = self._overflows(m)
+            ov_k, ov_b, occ, ext, bd_t, ov_w, wext = self._overflows(m)
             ms_total = (time.perf_counter() - t0) * 1e3
             if not (self.auto_capacity
-                    and (ov_k > 0 or ov_b > 0
+                    and (ov_k > 0 or ov_b > 0 or ov_w > 0
                          or (not self.use_bd and bd_t > 0))):
                 break
             # restore FIRST: the failed call donated the old state buffers
@@ -669,16 +789,20 @@ class Simulation:
                 self.use_bd = True
                 self._bd_votes = 0
                 self._build_step()
-            elif not self._bump_capacity("box" if ov_b > 0 else "k",
-                                         occ=occ, ext=ext):
-                self._warn_dropping(n_steps, ov_k, ov_b, occ)
-                break
+            elif ov_k > 0 or ov_b > 0:
+                if not self._bump_capacity("box" if ov_b > 0 else "k",
+                                           occ=occ, ext=ext):
+                    self._warn_dropping(n_steps, ov_k, ov_b, occ)
+                    break
+            else:
+                # split-program window overflow: refit or fall back
+                self._grow_window(wext)
             self.retries += 1
             backup = self._backup()
         self.state, self.carry, self.metrics = st, ca, m
         self.frame += n_steps
         self.total_ms += ms_total
-        self._maybe_downshift(occ, ext, bd_t)
+        self._maybe_downshift(occ, ext, bd_t, wext)
         return ms_total / n_steps
 
     # ------------------------------------------------------------------
