@@ -521,6 +521,76 @@ def column_pass_halo_sym(
                      check_vma=False)(*args)
 
 
+def column_pass_xla_sym_5d(
+    fluid_terms: Callable,
+    bd_terms: Optional[Callable],
+    fl: jnp.ndarray,                  # (Fi, K, G) lane-major flat ghosted
+    dims: DenseDims,
+    n_out: int,
+    bd: Optional[jnp.ndarray] = None,  # (Fb, Kb, G) lane-major flat
+    dims_b: Optional[DenseDims] = None,
+    mesh=None,
+) -> jnp.ndarray:
+    """Symmetric half-stencil executor over the 5-D cell-space view —
+    the 2-D (x,z)-slab mesh path (SCALING.md §4's v5e-8 option: halving
+    per-slab surface area vs 8 x-slabs).
+
+    The flat executor's single ghosted cell axis forces any sharding to
+    be 1-D x-slabs; here every stencil offset (dx, dy, dz) is three
+    static per-axis slices of the (F, K, GX, GY, GZ) view, so GSPMD can
+    shard GX and GZ on independent mesh axes and lower the x/z shifts to
+    nearest-neighbor halo exchanges per axis. Per output position the
+    fold performs the same adds in the same order on the same operand
+    bytes as ``column_pass_xla_sym`` (the flat executor's extra interior-
+    ghost positions compute junk that is never read); particle positions
+    match the flat executor bitwise over a multi-step window, velocities
+    within 1 ulp (XLA contracts multiply-add chains differently in the
+    flat vs 5-D fusions) — asserted in tests/test_parallel.py."""
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    f, k = fl.shape[0], fl.shape[1]
+    cx, cy, cz = dims.cx, dims.cy, dims.cz
+    x5 = fl.reshape(f, k, dims.gx, dims.gy, dims.gz)
+    has_b = bd is not None and bd_terms is not None
+    if mesh is not None:
+        ax, az = mesh.axis_names
+        x5 = jax.lax.with_sharding_constraint(
+            x5, NamedSharding(mesh, _P(None, None, ax, None, az)))
+    if has_b:
+        b5 = bd.reshape(bd.shape[0], dims_b.k, dims.gx, dims.gy, dims.gz)
+        if mesh is not None:
+            # boundary is static data: replicate, every slice is local
+            b5 = jax.lax.with_sharding_constraint(
+                b5, NamedSharding(mesh, _P()))
+
+    def cell_slice(v, o):
+        dx, dy, dz = (int(x) for x in _OFFS[o])
+        return v[:, :, dx:dx + cx, dy:dy + cy, dz:dz + cz]
+
+    with _axes(_LANE5):
+        i_core = cell_slice(x5, 13)
+        acc = fluid_terms(i_core, i_core, False)[0]
+        if has_b:
+            acc = acc + bd_terms(i_core, cell_slice(b5, 13))
+        for o in range(13):
+            dx, dy, dz = (int(x) for x in _OFFS[o])
+            out_i, out_j = fluid_terms(i_core, cell_slice(x5, o), True)
+            acc = acc + out_i
+            # out_j computed at core cell c belongs to c + (d-1): pad one
+            # ring and slice at 1-(d-1) = 2-d per axis (static)
+            ojp = jnp.pad(out_j, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+            acc = acc + ojp[:, :, 2 - dx:2 - dx + cx, 2 - dy:2 - dy + cy,
+                            2 - dz:2 - dz + cz]
+            if has_b:
+                acc = acc + (bd_terms(i_core, cell_slice(b5, o))
+                             + bd_terms(i_core, cell_slice(b5, 26 - o)))
+    out = jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+    if mesh is not None:
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, _P(None, None, ax, None, az)))
+    return out.reshape(n_out, k, dims.g)
+
+
 CHUNK_TARGET_MB = 14.0     # per-slab fluid pair-block budget when chunking
 CHUNK_MIN_PAIR_MB = 48.0   # below this, the unchunked executor runs
 CHUNK_OVERRIDE: Optional[int] = None   # tests/experiments: force a slab count
@@ -751,6 +821,11 @@ def _run(fluid_terms, bd_terms, fl, bd, col_count, dims, dims_b, n_out,
         engine = "xla"          # the sym executor runs the box grid as-is
     if engine == "xla":
         mesh = current_mesh()
+        if mesh is not None and len(mesh.axis_names) == 2:
+            # 2-D (x,z)-slab mesh: the 5-D cell-space executor, whose
+            # per-axis static slices GSPMD partitions on both axes
+            return column_pass_xla_sym_5d(fluid_terms, bd_terms, fl,
+                                          dims, n_out, bd, dims_b, mesh)
         if mesh is not None:
             from ..parallel.halo import pass_eligible
             from ..parallel.mesh import current_halo_mode

@@ -49,13 +49,18 @@ F32 = jnp.float32
 
 
 def fill_read_eligible(mesh: Mesh, n: int, g: int) -> bool:
+    if len(mesh.axis_names) != 1:
+        return False  # the shard_map boundary is 1-D x-slab only
     nd = mesh_devices(mesh)
     return n % nd == 0 and g % nd == 0
 
 
 def pass_eligible(mesh: Mesh, g: int, flat_p: int) -> bool:
     """The halo executor needs whole shards and a halo no wider than one
-    shard (edges then touch only nearest neighbors)."""
+    shard (edges then touch only nearest neighbors); 1-D meshes only —
+    a 2-D mesh routes to the 5-D executor instead."""
+    if len(mesh.axis_names) != 1:
+        return False
     nd = mesh_devices(mesh)
     return g % nd == 0 and g // nd >= flat_p
 

@@ -50,6 +50,24 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devs), (AXIS,))
 
 
+# 2-D (x,z)-slab decomposition (SCALING.md §4): the executors run over
+# the 5-D cell view with GX on "gx" and GZ on "gz"
+# (ops/pallas_passes.column_pass_xla_sym_5d); halves per-slab surface
+# area vs 1-D x-slabs on a v5e-8 (4x2).
+AXES_2D = ("gx", "gz")
+
+
+def make_mesh2d(shape=(4, 2), devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    nx, nz = shape
+    devs = np.asarray(devs[:nx * nz]).reshape(nx, nz)
+    return Mesh(devs, AXES_2D)
+
+
+def mesh_is_2d(mesh: Optional[Mesh]) -> bool:
+    return mesh is not None and len(mesh.axis_names) == 2
+
+
 @contextlib.contextmanager
 def spatial_sharding(mesh: Mesh, halo: str = "auto"):
     """While active, the neighbor engine constrains per-cell tensors to be
@@ -80,7 +98,7 @@ def constrain_cells(x: jax.Array) -> jax.Array:
     """Shard a (M, ...) active-cell tensor along the mesh; no-op without an
     active spatial_sharding context."""
     mesh = _ACTIVE_MESH.get()
-    if mesh is None:
+    if mesh is None or mesh_is_2d(mesh):
         return x
     spec = P(AXIS, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -90,9 +108,11 @@ def constrain_axis(x: jax.Array, axis: int) -> jax.Array:
     """Shard one axis of a tensor along the mesh (used by the dense engine:
     axis 1 = the ghosted GX axis, so each device owns an x-slab of cells and
     GSPMD turns the 27-offset stencil slices into halo exchanges over ICI).
-    No-op without an active spatial_sharding context."""
+    No-op without an active spatial_sharding context, and under a 2-D
+    mesh (the 5-D executor constrains its own operands per cell axis;
+    the flat axis cannot express the (gx, gz) tiling)."""
     mesh = _ACTIVE_MESH.get()
-    if mesh is None:
+    if mesh is None or mesh_is_2d(mesh):
         return x
     spec = [None] * x.ndim
     spec[axis] = AXIS
@@ -123,7 +143,8 @@ def shard_particles(tree):
     def con(a):
         if getattr(a, "ndim", 0) < 1:
             return a
-        spec = P(AXIS, *([None] * (a.ndim - 1)))
+        # 1-D mesh: P("cells", ...); 2-D: N sharded over both axes jointly
+        spec = P(tuple(mesh.axis_names), *([None] * (a.ndim - 1)))
         return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(con, tree)

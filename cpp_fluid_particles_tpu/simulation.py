@@ -94,7 +94,8 @@ class Simulation:
             from jax.sharding import NamedSharding, PartitionSpec
             nd = int(np.prod(list(self.mesh.shape.values())))
             if self.state.n % nd == 0:
-                npart = NamedSharding(self.mesh, PartitionSpec(_meshmod.AXIS))
+                npart = NamedSharding(
+                    self.mesh, PartitionSpec(tuple(self.mesh.axis_names)))
 
                 def _put(a):
                     return (jax.device_put(a, npart)
@@ -356,11 +357,14 @@ class Simulation:
 
     def _fit_wbox(self, wext) -> Tuple[int, int, int]:
         """Overflow-window size from the measured over-K_a extents
-        (which already carry a one-cell margin per side): +2 slosh
-        headroom, multiples of 4, capped at the box."""
+        (which already carry a one-cell margin per side): +4 slosh
+        headroom (the splash front spreads a few cells per 25-frame
+        chunk, and a window-overflow retry re-executes the whole chunk —
+        headroom is much cheaper than a retry), multiples of 4, capped
+        at the box."""
         out = []
         for e, b in zip(wext, self.box):
-            e = max(int(e), 4) + 2
+            e = max(int(e), 4) + 4
             out.append(int(min(b, int(np.ceil(e / 4)) * 4)))
         return tuple(out)
 
@@ -370,7 +374,7 @@ class Simulation:
         cannot grow further, fall back to the plain program — either way
         the retry cannot drop particles."""
         fit = self._fit_wbox(wext)
-        new = tuple(min(b, max(f, w + 4))
+        new = tuple(min(b, max(f, w + 8))
                     for f, w, b in zip(fit, self.wbox, self.box))
         if new == self.wbox:
             self.split_on = False
@@ -458,24 +462,46 @@ class Simulation:
             self._down_votes = 0
         self._maybe_switch_split(occ, wext)
 
+    SPLIT_SAFETY = 0.6   # engage only below this fraction of the pair-
+    #                      slot break-even (covers fill/read overhead,
+    #                      fixed window-pass costs, and retry risk)
+
+    def _split_break_even(self) -> float:
+        """Window/box volume fraction at which the split's pair-slot
+        rows equal the plain program's (fluid folds; the boundary folds
+        it also shrinks push the true break-even higher):
+
+          plain: 13 K^2 B   vs   split: 13 K_a^2 B
+                 + W (13 k_b^2  [BB]  + 54 K_a k_b  [B<-A + A<-B])
+        """
+        k = self.max_per_cell
+        ka = self.cfg.split_k_a
+        kb = k - ka
+        if kb <= 0:
+            return 0.0
+        return (13.0 * (k * k - ka * ka)
+                / (13.0 * kb * kb + 54.0 * ka * kb))
+
     def _maybe_switch_split(self, occ: int, wext) -> None:
         """Occupancy-split program selection (cfg.occupancy_split):
         engage the two-tier program while cells exceed K_a AND the
-        overflow region stays a modest fraction of the box (a window
-        covering most of the box pays the split's extra window folds for
-        no K_a^2 saving — pre-impact, the resting dam block exceeds K_a
-        everywhere and correctly stays plain). Hysteresis (DOWN_VOTES
-        consecutive chunks) like the boundary-skip program; window
-        refits on activation, growth happens through the retry contract
-        (_grow_window), shrink through re-activation after calm."""
+        fitted window stays under SPLIT_SAFETY x the pair-slot
+        break-even fraction (a window covering most of the box pays the
+        split's extra window folds for no K_a^2 saving — pre-impact, the
+        resting dam block exceeds K_a everywhere and correctly stays
+        plain; the settling pool's broad shallow overflow also stays
+        plain). Hysteresis (DOWN_VOTES consecutive chunks) like the
+        boundary-skip program; window refits on activation, growth
+        happens through the retry contract (_grow_window), shrink
+        through the calm-shrink vote below."""
         if not self._split_capable or self.box is None:
             return
         k_a = self.cfg.split_k_a
         has_hi = min(wext) > 0
-        frac = (float(np.prod(wext)) / float(np.prod(self.box))
-                if has_hi else 0.0)
-        want = (has_hi and occ >= k_a + 2 and frac <= 0.5
-                and self.max_per_cell > k_a)
+        frac = (float(np.prod(self._fit_wbox(wext)))
+                / float(np.prod(self.box)) if has_hi else 0.0)
+        want = (has_hi and occ >= k_a + 2 and self.max_per_cell > k_a
+                and frac <= self.SPLIT_SAFETY * self._split_break_even())
         shrink_wbox = None
         if want and self.split_on:
             # sustained calm: refit a much-too-large window downward

@@ -94,6 +94,9 @@ class ViewerState:
         self._new_frame = threading.Condition(self._lock)
         self.stats_line = "starting…"
         self.done = False
+        self.running = True   # pause state, observable via /stats (the
+        #                       test waits on it — frame-counter timing
+        #                       cannot distinguish "paused" from "slow")
         self.keys: "queue.Queue[str]" = queue.Queue()
 
     def push_frame(self, png: bytes) -> None:
@@ -143,6 +146,7 @@ def _make_handler(state: ViewerState):
                 self._send(200, "image/png", png, [("X-Gen", str(g))])
             elif path[0] == "/stats":
                 body = json.dumps({"line": state.stats_line,
+                                   "running": state.running,
                                    "done": state.done}).encode()
                 self._send(200, "application/json", body)
             else:
@@ -230,6 +234,7 @@ def serve_loop(sim, args, make_camera, draw_cube_edges, render, images,
                     pass
             elif key == " ":
                 running = not running
+                state.running = running
             elif key in "nN":
                 state.stats_line = timer.record(sim.step(args.dt))
             elif key in "123":

@@ -102,6 +102,12 @@ def main():
         ("pbd tol1% warm 0.5", "pbd",
          cfg.replace(pbd_density_tolerance=0.01,
                      pbd_warm_start=0.5), 0.004),
+        # round 5: the intermediate scale 0.25 PASSED the full-dam
+        # validation gate (exp/dfsph_sweep.py / PARITY.md #12) — timed
+        # here composed with tol+cheb (the validated stack)
+        ("pbd tol1% cheb+warm.25", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.9,
+                     pbd_warm_start=0.25), 0.004),
     ]
     if len(sys.argv) > 2:
         cases = [c for c in cases if sys.argv[2] in c[0]]

@@ -383,3 +383,51 @@ def test_sharded_dense_engine_matches(setup):
         sh = jax.jit(step)(state, scene_d, dt)
     np.testing.assert_allclose(np.asarray(sh.pos), np.asarray(ref.pos),
                                atol=1e-6)
+
+
+def test_mesh2d_box_engine_matches_bitwise(setup):
+    """2-D (4x2) x,z-slab mesh (parallel.make_mesh2d): the 5-D cell-space
+    executor (ops/pallas_passes.column_pass_xla_sym_5d) under GSPMD
+    reproduces the single-device flat executor's POSITIONS bitwise over
+    the window — per output position the fold performs the same adds in
+    the same order (the flat executor's interior-ghost junk positions
+    are never read). Velocities carry a 1-ulp envelope: XLA contracts
+    multiply-add chains (FMA) differently in the flat vs 5-D fusions
+    (measured max 1.7e-10 abs / 1.1e-5 rel on this scene)."""
+    cfg, _, _ = setup
+    s = cfg.spacing
+    pos = np.array(
+        [(0.3 + s * i, 0.2 + s * j, 0.3 + s * k)
+         for i in range(6) for j in range(6) for k in range(6)], np.float32)
+    mesh2 = parallel.make_mesh2d((4, 2))
+    assert parallel.mesh_is_2d(mesh2)
+    sim2 = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+                          warmup=False, mesh=mesh2)
+    sim1 = cfp.Simulation(solver="wcsph", cfg=cfg, fluid_pos=pos,
+                          warmup=False)
+    assert sim2.engine == "dense"
+    for _ in range(2):
+        sim2.step()
+        sim1.step()
+    p2 = np.asarray(sim2.state.pos)
+    assert np.isfinite(p2).all()
+    np.testing.assert_array_equal(p2, np.asarray(sim1.state.pos))
+    np.testing.assert_allclose(np.asarray(sim2.state.vel),
+                               np.asarray(sim1.state.vel),
+                               rtol=5e-5, atol=1e-9)
+
+
+def test_mesh2d_pbd_run_scan(setup):
+    """PBD (while_loop projection) under the 2-D mesh: chained run_scan
+    with auto-capacity, no drops, finite."""
+    cfg, _, _ = setup
+    s = cfg.spacing
+    pos = np.array(
+        [(0.3 + s * i, 0.2 + s * j, 0.3 + s * k)
+         for i in range(6) for j in range(6) for k in range(6)], np.float32)
+    mesh2 = parallel.make_mesh2d((4, 2))
+    sim = cfp.Simulation(solver="pbd", cfg=cfg, fluid_pos=pos,
+                         warmup=False, mesh=mesh2)
+    sim.run_scan(3)
+    assert sim.dropped_frames == 0
+    assert np.isfinite(np.asarray(sim.state.pos)).all()

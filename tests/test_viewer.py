@@ -72,18 +72,20 @@ def test_viewer_end_to_end():
         t.join(0.2)
     assert sim.frame > 0, "simulation loop did not advance"
 
-    # pause, then single-step: frame counter advances by exactly 1
+    # pause, then single-step: frame counter advances by exactly 1.
+    # Wait on the viewer's OWN pause state (/stats running) — a frame
+    # counter that merely stops moving cannot distinguish "paused" from
+    # "slow chunk in flight" (flaked under parallel CPU load, round 5)
     _post(base + "/key", " ")
-    f0, stable = sim.frame, 0
-    for _ in range(600):  # wait until the pause takes effect (frame stable)
+    paused = False
+    for _ in range(1200):
         t.join(0.5)
-        if sim.frame == f0:
-            stable += 1
-            if stable >= 4:
-                break
-        else:
-            f0, stable = sim.frame, 0
-    assert stable >= 4, "pause key did not stop the loop"
+        body, _ = _get(base + "/stats")
+        if json.loads(body).get("running") is False:
+            paused = True
+            break
+    assert paused, "pause key did not stop the loop"
+    f0 = sim.frame
     _post(base + "/key", "n")
     for _ in range(300):
         t.join(0.1)
