@@ -39,17 +39,21 @@ def main():
     fetch_ms = (time.perf_counter() - t0) * 1e3 / 5
     print(f"fetch baseline {fetch_ms:.1f} ms", flush=True)
 
+    import os
+    k_a = int(os.environ.get("SPLIT_KA", "10"))
+    skip_plain = os.environ.get("SPLIT_ONLY", "") == "1"
     for solver in solvers:
-        for split in (False, True):
+        for split in ((True,) if skip_plain else (False, True)):
             cfg = cfp.dam_break_config(mode="parity",
-                                       occupancy_split=split)
+                                       occupancy_split=split,
+                                       split_k_a=k_a)
             sim = cfp.Simulation(solver=solver, cfg=cfg, warmup=True)
             ms, _, dirty = _avg_run_ms(sim, dts[solver], fetch_ms,
                                        total=3 * chain,
                                        measure_steady=False)
             all_in = _all_in_ms(sim, dts[solver], fetch_ms,
                                 total=3 * chain)
-            tag = "split" if split else "plain"
+            tag = f"split(ka={k_a})" if split else "plain"
             print(f"{solver} {tag}: {ms:.3f} ms/frame clean "
                   f"({base[solver]/ms:.2f}x vs ref), all-in "
                   f"{all_in:.3f}, dirty {dirty}, K={sim.max_per_cell}, "
