@@ -180,6 +180,7 @@ class Simulation:
         # pre-chunk state with a refitted window (or the plain program).
         self.split_on = False
         self.wbox: Optional[Tuple[int, int, int]] = None
+        self.split_chunks = 0   # run_scan chunks executed split (telemetry)
         self._split_votes = 0
         self._split_capable = (self.cfg.occupancy_split
                                and self.auto_capacity
@@ -826,6 +827,8 @@ class Simulation:
             self.retries += 1
             backup = self._backup()
         self.state, self.carry, self.metrics = st, ca, m
+        if self.split_on:
+            self.split_chunks += 1
         self.frame += n_steps
         self.total_ms += ms_total
         self._maybe_downshift(occ, ext, bd_t, wext)

@@ -42,6 +42,14 @@ def main():
     import os
     k_a = int(os.environ.get("SPLIT_KA", "10"))
     skip_plain = os.environ.get("SPLIT_ONLY", "") == "1"
+    # SPLIT_SAFETY overrides the engagement policy's safety factor —
+    # a huge value forces the split on whenever any cell exceeds K_a
+    # (the policy-calibration experiment: is the break-even model too
+    # conservative, or does forced engagement lose end-to-end?)
+    if "SPLIT_SAFETY" in os.environ:
+        cfp.Simulation.SPLIT_SAFETY = float(os.environ["SPLIT_SAFETY"])
+        print(f"SPLIT_SAFETY forced to {cfp.Simulation.SPLIT_SAFETY}",
+              flush=True)
     for solver in solvers:
         for split in ((True,) if skip_plain else (False, True)):
             cfg = cfp.dam_break_config(mode="parity",
@@ -58,6 +66,7 @@ def main():
                   f"({base[solver]/ms:.2f}x vs ref), all-in "
                   f"{all_in:.3f}, dirty {dirty}, K={sim.max_per_cell}, "
                   f"split_on={sim.split_on} wbox={sim.wbox} "
+                  f"split_chunks={sim.split_chunks} "
                   f"retries={sim.retries} drops={sim.dropped_frames}",
                   flush=True)
             assert sim.dropped_frames == 0
