@@ -8,7 +8,8 @@ the FULL 300-frame dam break per solver in each mode —
   pbd:   parity          — fixed-20-iteration contract (src/PBDSolver.cu:52)
          tol1%           — SPlisHSPlasH-style 1% max-density-residual exit
          tol1%+cheb      — the accelerated mode on the same criterion
-         tol1%+cheb+warm — plus the Dp warm-start predictor (round 4)
+         tol1%+cheb+warm — plus the Dp warm-start predictor at the
+                           round-5-validated quarter scale (0.25)
   dfsph: parity          — plain warm-started Jacobi (src/DFSPHSolver.cu)
          cheb0.9         — Chebyshev-extrapolated Jacobi, same criteria
 
@@ -96,9 +97,13 @@ MODES = {
         ("tol1%", dict(pbd_density_tolerance=0.01)),
         ("tol1%+cheb", dict(pbd_density_tolerance=0.01,
                             pbd_chebyshev_rho=0.9)),
+        # warm scale history: 1.0 exploded (round 4, K escalates to 128
+        # mid-splash), 0.5 diverges (round 5 sweep: dKE 10.9%, height-p95
+        # 3.2 sp), 0.25 passed the identical envelopes in the round-5
+        # sweep (exp/dfsph_sweep.py PBD stage) — gated here canonically.
         ("tol1%+cheb+warm", dict(pbd_density_tolerance=0.01,
                                  pbd_chebyshev_rho=0.9,
-                                 pbd_warm_start=1.0)),
+                                 pbd_warm_start=0.25)),
     ],
     "dfsph": [
         ("cheb0.9", dict(dfsph_chebyshev_rho=0.9)),

@@ -342,7 +342,8 @@ def test_fill_read_sharded_bitwise_negative_zero():
     idx = BoxIndex(slots=jnp.asarray(slots), valid=jnp.asarray(valid),
                    origin=jnp.zeros(3, jnp.int32),
                    ext=jnp.zeros(3, jnp.int32), overflow=jnp.int32(0),
-                   box_overflow=jnp.int32(0), max_occupancy=jnp.int32(0))
+                   box_overflow=jnp.int32(0), max_occupancy=jnp.int32(0),
+                   hi_ext=jnp.zeros(3, jnp.int32))
     fields = [jnp.asarray(vals[0]), jnp.asarray(vals[1])]
 
     def run():
