@@ -390,11 +390,13 @@ def main() -> int:
               f"single chip; v5e-8 target >10)", file=sys.stderr)
 
     # The framework's DEFAULT configuration (dam_break_config() mode="fast":
-    # PBD 1% tolerance exit + Chebyshev, physics-validated against parity
-    # over the full dam — exp/pbd_mode_validation.py, PARITY.md #11):
-    # what a user gets out of the box. Only PBD's default differs from
-    # parity (DFSPH Chebyshev and the warm-start predictor failed
-    # validation and stay opt-in), so only PBD is re-measured here.
+    # PBD 1% tolerance exit + Chebyshev + quarter-scale warm start, each
+    # physics-validated against parity over the full dam —
+    # exp/pbd_mode_validation.py, PARITY.md #11-12): what a user gets out
+    # of the box. Only PBD's default differs from parity (DFSPH Chebyshev
+    # and stronger warm scales failed validation and stay opt-in), so only
+    # PBD is re-measured here. Measured 90.0 ms (round 5) vs 100.7 for the
+    # cheb-only stack (the pbd_chebyshev rider keeps that comparator).
     def default_mode():
         sim = cfp.Simulation(solver="pbd", cfg=cfp.dam_break_config(),
                              warmup=True)
@@ -405,24 +407,6 @@ def main() -> int:
         print(f"# pbd (framework default, validated fast mode): "
               f"{dms:.2f} ms/frame ({11.3/dms:.2f}x vs 11.3 ms baseline)",
               file=sys.stderr)
-
-    # Round 5 (PARITY.md #12): the quarter-scale Δp warm-start predictor
-    # composed with tol 1% + Chebyshev 0.9 passed the full-dam validation
-    # gate (exp/dfsph_sweep.py PBD stage) — timed here so the validated
-    # stack's payoff is on the record next to the cheb-only default.
-    def pbd_warm():
-        sim = cfp.Simulation(
-            solver="pbd",
-            cfg=cfp.dam_break_config(mode="parity").replace(
-                pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.9,
-                pbd_warm_start=0.25),
-            warmup=True)
-        wms, _, _ = _avg_run_ms(sim, 0.004, fetch_ms, total=3 * chain,
-                                measure_steady=False)
-        results["pbd"]["warm_mode_ms_per_frame"] = round(wms, 3)
-        results["pbd"]["warm_mode_vs_baseline"] = round(11.3 / wms, 2)
-        print(f"# pbd (tol 1% + cheb 0.9 + warm 0.25): {wms:.2f} ms/frame "
-              f"({11.3/wms:.2f}x vs 11.3 ms baseline)", file=sys.stderr)
 
     # Occupancy-class split riders (VERDICT r4 #1: the two-tier K
     # program, ops/split.py — parity physics, float-close executor):
@@ -444,7 +428,6 @@ def main() -> int:
     rider("wcsph_split", 4.0, lambda: split_mode("wcsph", 0.001, 4.4))
     rider("pbd_split", 6.0, lambda: split_mode("pbd", 0.004, 11.3))
     rider("default_mode", 8.0, default_mode)
-    rider("pbd_warm", 6.0, pbd_warm)
     rider("pbd_tolerance", 4.0, pbd_tol)
     rider("pbd_chebyshev", 4.0, pbd_cheb)
     rider("dfsph_chebyshev", 4.0, dfsph_cheb)

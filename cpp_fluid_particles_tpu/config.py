@@ -243,18 +243,22 @@ class SimConfig:
 # parity"; physics validation exp/pbd_mode_validation.py + PARITY.md
 # #11-12): same convergence criteria, fewer projection iterations.
 # Parity mode (all zeros) remains the differential-test contract and is
-# one mode="parity" away. Deliberately NOT here, both measured on the
-# full 300-frame dam (exp/pbd_mode_validation.py):
-#   * dfsph_chebyshev_rho=0.9 fails the validation envelopes (dCOM 1.6
-#     spacings, dKE 22% of peak, settled quantiles off 0.045) — the
-#     round-3 "part convergence, part trajectory" caveat, quantified;
-#   * pbd_warm_start=1.0 DESTABILIZES the dam impact (full-scale
-#     re-application of the previous frame's projection displacement
-#     compounds during the splash until capacity exhausts at K=128) —
-#     the predictor stays opt-in for calmer scenes / smaller scales.
+# one mode="parity" away. Deliberately NOT here, measured on the full
+# 300-frame dam (exp/pbd_mode_validation.py / exp/dfsph_sweep*.py):
+#   * dfsph_chebyshev_rho fails the validation envelopes at every
+#     setting that engages (round-5 sweep: rho 0.6-0.9 x start 4-10 all
+#     diverge or are no-ops) — stays opt-in;
+#   * pbd_warm_start above 0.25: 1.0 DESTABILIZES the dam impact
+#     (compounding re-application until capacity exhausts at K=128),
+#     0.5 diverges statistically (dKE 10.9%, height-p95 off 3.2 sp).
 FAST_MODE_FLAGS = dict(
     pbd_density_tolerance=0.01,   # SPlisHSPlasH-style residual exit
     pbd_chebyshev_rho=0.9,        # Chebyshev-accelerated projection
+    pbd_warm_start=0.25,          # quarter-scale Dp predictor — the one
+    #                               warm scale that passes the full-dam
+    #                               gate (round 5: dCOM 0.36 sp, dKE
+    #                               3.0%, dq 0.0022, same impact chunk);
+    #                               measured 90 vs 101 ms/frame cheb-only
 )
 
 
@@ -263,10 +267,11 @@ def dam_break_config(mode: str = "fast", **overrides) -> SimConfig:
 
     ``mode="fast"`` (default) enables the physics-validated
     beyond-parity solver modes (``FAST_MODE_FLAGS``: PBD tolerance exit
-    + Chebyshev acceleration — each validated against parity over the
-    full 300-frame dam, exp/pbd_mode_validation.py; the PBD warm-start
-    predictor and DFSPH Chebyshev failed that validation and stay
-    opt-in, see the comment above FAST_MODE_FLAGS).
+    + Chebyshev acceleration + quarter-scale warm start — each validated
+    against parity over the full 300-frame dam,
+    exp/pbd_mode_validation.py; DFSPH Chebyshev and stronger warm-start
+    scales failed that validation and stay opt-in, see the comment
+    above FAST_MODE_FLAGS).
     ``mode="parity"`` is the bit-for-bit reference solver contract
     (fixed-20 PBD projection, plain Jacobi DFSPH) used by the golden and
     differential tests. Explicit ``**overrides`` win over either mode.

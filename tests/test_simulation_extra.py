@@ -294,7 +294,8 @@ def test_boundary_skip_lifecycle():
 def test_config_mode_contract():
     """dam_break_config(mode=...): the fast default enables EXACTLY the
     physics-validated beyond-parity flags (config.FAST_MODE_FLAGS — PBD
-    tolerance exit + Chebyshev; the measured-unstable warm start and the
+    tolerance exit + Chebyshev + the quarter-scale warm start, each
+    gated on the full dam; stronger warm scales and the
     trajectory-divergent DFSPH Chebyshev must stay off, PARITY.md
     #11-12); parity mode zeroes them all; explicit overrides win; an
     unknown mode rejects loudly."""
@@ -303,10 +304,12 @@ def test_config_mode_contract():
     fast = cfp.dam_break_config()
     assert fast.pbd_density_tolerance == 0.01
     assert fast.pbd_chebyshev_rho == 0.9
-    assert fast.pbd_warm_start == 0.0, "unvalidated mode leaked into default"
+    assert fast.pbd_warm_start == 0.25, \
+        "default warm scale must stay at the gate-validated 0.25"
     assert fast.dfsph_chebyshev_rho == 0.0, "diverging mode leaked"
     assert set(FAST_MODE_FLAGS) == {"pbd_density_tolerance",
-                                    "pbd_chebyshev_rho"}
+                                    "pbd_chebyshev_rho",
+                                    "pbd_warm_start"}
 
     parity = cfp.dam_break_config(mode="parity")
     for flag in ("pbd_density_tolerance", "pbd_chebyshev_rho",
