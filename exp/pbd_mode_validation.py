@@ -21,7 +21,13 @@ same impact timing, same energy envelope, same settled state, residual
 criterion respected. Numbers feed PARITY.md and gate which modes may be
 production defaults.
 
-Run on the TPU: python exp/pbd_mode_validation.py [solver] [frames] [chunk]
+Run on the TPU: python exp/pbd_mode_validation.py [solver] [frames] [chunk] [dt]
+
+dt defaults to the code default (cfg.dt = 0.002 — what a CLI user runs,
+and the dt every validation verdict in PARITY.md was gated at); pass
+0.004 to additionally gate at the reference's published benchmark
+timestep (heavier per-step splash, new capacity configs — expect extra
+compile time on a cold cache).
 """
 
 from __future__ import annotations
@@ -36,12 +42,12 @@ sys.path.insert(0, "/root/repo")
 import cpp_fluid_particles_tpu as cfp
 
 
-def run_mode(name, cfg, frames, chunk, solver="pbd"):
+def run_mode(name, cfg, frames, chunk, solver="pbd", dt=None):
     sim = cfp.Simulation(solver=solver, cfg=cfg, warmup=True)
     trace = []
     t0 = time.perf_counter()
     for _ in range(frames // chunk):
-        sim.run_scan(chunk)
+        sim.run_scan(chunk, dt)
         pos = np.asarray(sim.state.pos)
         vel = np.asarray(sim.state.vel)
         rho = np.asarray(sim.state.density) / cfg.rho0
@@ -115,11 +121,14 @@ def main():
     solver = sys.argv[1] if len(sys.argv) > 1 else "pbd"
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dt = float(sys.argv[4]) if len(sys.argv) > 4 else None
     cfg = cfp.dam_break_config(mode="parity")
-    parity = run_mode("parity", cfg, frames, chunk, solver)
+    if dt:
+        print(f"gating at dt={dt}", flush=True)
+    parity = run_mode("parity", cfg, frames, chunk, solver, dt)
     results = []
     for nm, flags in MODES[solver]:
-        run = run_mode(nm, cfg.replace(**flags), frames, chunk, solver)
+        run = run_mode(nm, cfg.replace(**flags), frames, chunk, solver, dt)
         results.append((nm, compare(f"{nm:15s} vs parity", parity, run,
                                     cfg, chunk)))
     # validation bar: same impact timing, energy envelope within a few %,
