@@ -390,13 +390,13 @@ def main() -> int:
               f"single chip; v5e-8 target >10)", file=sys.stderr)
 
     # The framework's DEFAULT configuration (dam_break_config() mode="fast":
-    # PBD 1% tolerance exit + Chebyshev + quarter-scale warm start, each
-    # physics-validated against parity over the full dam —
+    # PBD 1% tolerance exit + Chebyshev, physics-validated against parity
+    # over the full dam at BOTH dt 0.002 and 0.004 —
     # exp/pbd_mode_validation.py, PARITY.md #11-12): what a user gets out
     # of the box. Only PBD's default differs from parity (DFSPH Chebyshev
-    # and stronger warm scales failed validation and stay opt-in), so only
-    # PBD is re-measured here. Measured 90.0 ms (round 5) vs 100.7 for the
-    # cheb-only stack (the pbd_chebyshev rider keeps that comparator).
+    # at every engaging setting, and the warm-start predictor at this
+    # benchmark's dt 0.004, failed validation and stay opt-in), so only
+    # PBD is re-measured here.
     def default_mode():
         sim = cfp.Simulation(solver="pbd", cfg=cfp.dam_break_config(),
                              warmup=True)
@@ -406,6 +406,25 @@ def main() -> int:
         results["pbd"]["default_mode_vs_baseline"] = round(11.3 / dms, 2)
         print(f"# pbd (framework default, validated fast mode): "
               f"{dms:.2f} ms/frame ({11.3/dms:.2f}x vs 11.3 ms baseline)",
+              file=sys.stderr)
+
+    # Round 5 (PARITY.md #12): the quarter-scale Δp warm-start predictor
+    # stacked on tol+cheb — VALIDATED at the code-default dt 0.002,
+    # DIVERGES at this benchmark's dt 0.004 (dKE 7.8%, the dual-dt gate),
+    # so it is NOT the default; timed here as the opt-in it is, at the
+    # dt where it is validated, next to the same-dt default comparator.
+    def pbd_warm():
+        warm_cfg = cfp.dam_break_config().replace(pbd_warm_start=0.25)
+        ms_by = {}
+        for tag, cfg_i in (("warm", warm_cfg), ("default", cfp.dam_break_config())):
+            sim = cfp.Simulation(solver="pbd", cfg=cfg_i, warmup=True)
+            wms, _, _ = _avg_run_ms(sim, 0.002, fetch_ms, total=3 * chain,
+                                    measure_steady=False)
+            ms_by[tag] = wms
+        results["pbd"]["warm_mode_dt002_ms_per_frame"] = round(ms_by["warm"], 3)
+        results["pbd"]["default_mode_dt002_ms_per_frame"] = round(ms_by["default"], 3)
+        print(f"# pbd @dt=0.002 (its validated regime): warm 0.25 stack "
+              f"{ms_by['warm']:.2f} ms/frame vs default {ms_by['default']:.2f}",
               file=sys.stderr)
 
     # Occupancy-class split riders (VERDICT r4 #1: the two-tier K
@@ -428,6 +447,7 @@ def main() -> int:
     rider("wcsph_split", 4.0, lambda: split_mode("wcsph", 0.001, 4.4))
     rider("pbd_split", 6.0, lambda: split_mode("pbd", 0.004, 11.3))
     rider("default_mode", 8.0, default_mode)
+    rider("pbd_warm_dt002", 8.0, pbd_warm)
     rider("pbd_tolerance", 4.0, pbd_tol)
     rider("pbd_chebyshev", 4.0, pbd_cheb)
     rider("dfsph_chebyshev", 4.0, dfsph_cheb)

@@ -248,17 +248,18 @@ class SimConfig:
 #   * dfsph_chebyshev_rho fails the validation envelopes at every
 #     setting that engages (round-5 sweep: rho 0.6-0.9 x start 4-10 all
 #     diverge or are no-ops) — stays opt-in;
-#   * pbd_warm_start above 0.25: 1.0 DESTABILIZES the dam impact
-#     (compounding re-application until capacity exhausts at K=128),
-#     0.5 diverges statistically (dKE 10.9%, height-p95 off 3.2 sp).
+#   * pbd_warm_start: 1.0 DESTABILIZES the dam impact (compounding
+#     re-application until capacity exhausts at K=128); 0.5 diverges
+#     statistically (dKE 10.9%, height-p95 off 3.2 sp); 0.25 passes the
+#     gate at the code-default dt 0.002 (dCOM 0.36 sp, dKE 3.0%) and is
+#     a measured -11% (90 vs 101 ms/frame) — but DIVERGES at the
+#     reference's benchmark dt 0.004 (dKE 7.8%, dCOM 0.79 sp, round-5
+#     dual-dt gate), where tol+cheb both still validate. A default must
+#     pass at every dt the headline is quoted at, so 0.25 stays opt-in
+#     for dt <= 0.002 regimes.
 FAST_MODE_FLAGS = dict(
     pbd_density_tolerance=0.01,   # SPlisHSPlasH-style residual exit
     pbd_chebyshev_rho=0.9,        # Chebyshev-accelerated projection
-    pbd_warm_start=0.25,          # quarter-scale Dp predictor — the one
-    #                               warm scale that passes the full-dam
-    #                               gate (round 5: dCOM 0.36 sp, dKE
-    #                               3.0%, dq 0.0022, same impact chunk);
-    #                               measured 90 vs 101 ms/frame cheb-only
 )
 
 
@@ -267,10 +268,10 @@ def dam_break_config(mode: str = "fast", **overrides) -> SimConfig:
 
     ``mode="fast"`` (default) enables the physics-validated
     beyond-parity solver modes (``FAST_MODE_FLAGS``: PBD tolerance exit
-    + Chebyshev acceleration + quarter-scale warm start — each validated
-    against parity over the full 300-frame dam,
-    exp/pbd_mode_validation.py; DFSPH Chebyshev and stronger warm-start
-    scales failed that validation and stay opt-in, see the comment
+    + Chebyshev acceleration — each validated against parity over the
+    full 300-frame dam at both dt 0.002 and 0.004,
+    exp/pbd_mode_validation.py; the PBD warm-start predictor and DFSPH
+    Chebyshev failed that validation and stay opt-in, see the comment
     above FAST_MODE_FLAGS).
     ``mode="parity"`` is the bit-for-bit reference solver contract
     (fixed-20 PBD projection, plain Jacobi DFSPH) used by the golden and

@@ -40,7 +40,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run the solvers in reference-parity mode (fixed-20 "
                         "PBD projection, plain Jacobi DFSPH) instead of the "
                         "validated fast default (PBD tolerance exit + "
-                        "Chebyshev + quarter-scale warm start)")
+                        "Chebyshev)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--dt", type=float, default=None,
                    help="timestep (default: config value 0.002)")

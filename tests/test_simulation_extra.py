@@ -294,22 +294,21 @@ def test_boundary_skip_lifecycle():
 def test_config_mode_contract():
     """dam_break_config(mode=...): the fast default enables EXACTLY the
     physics-validated beyond-parity flags (config.FAST_MODE_FLAGS — PBD
-    tolerance exit + Chebyshev + the quarter-scale warm start, each
-    gated on the full dam; stronger warm scales and the
-    trajectory-divergent DFSPH Chebyshev must stay off, PARITY.md
-    #11-12); parity mode zeroes them all; explicit overrides win; an
-    unknown mode rejects loudly."""
+    tolerance exit + Chebyshev, the two modes that pass the full-dam
+    gate at BOTH dt 0.002 and 0.004; the warm-start predictor diverges
+    at dt 0.004 and the DFSPH Chebyshev at every engaging setting —
+    both must stay off, PARITY.md #11-12); parity mode zeroes them all;
+    explicit overrides win; an unknown mode rejects loudly."""
     from cpp_fluid_particles_tpu.config import FAST_MODE_FLAGS
 
     fast = cfp.dam_break_config()
     assert fast.pbd_density_tolerance == 0.01
     assert fast.pbd_chebyshev_rho == 0.9
-    assert fast.pbd_warm_start == 0.25, \
-        "default warm scale must stay at the gate-validated 0.25"
+    assert fast.pbd_warm_start == 0.0, \
+        "warm start diverges at dt 0.004 — must not leak into default"
     assert fast.dfsph_chebyshev_rho == 0.0, "diverging mode leaked"
     assert set(FAST_MODE_FLAGS) == {"pbd_density_tolerance",
-                                    "pbd_chebyshev_rho",
-                                    "pbd_warm_start"}
+                                    "pbd_chebyshev_rho"}
 
     parity = cfp.dam_break_config(mode="parity")
     for flag in ("pbd_density_tolerance", "pbd_chebyshev_rho",
