@@ -447,11 +447,13 @@ def main() -> int:
     rider("wcsph_split", 4.0, lambda: split_mode("wcsph", 0.001, 4.4))
     rider("pbd_split", 6.0, lambda: split_mode("pbd", 0.004, 11.3))
     rider("default_mode", 8.0, default_mode)
-    rider("pbd_warm_dt002", 8.0, pbd_warm)
     rider("pbd_tolerance", 4.0, pbd_tol)
     rider("pbd_chebyshev", 4.0, pbd_cheb)
     rider("dfsph_chebyshev", 4.0, dfsph_cheb)
     rider("dfsph_1m", 5.0, one_m)
+    # last: the dt-0.002 opt-in documentation rider must never starve
+    # the long-standing record fields above of budget
+    rider("pbd_warm_dt002", 8.0, pbd_warm)
 
     # re-emit the same headline enriched with whatever riders landed —
     # last-line consumers get the full details, first-line consumers got
