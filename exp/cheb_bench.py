@@ -108,6 +108,16 @@ def main():
         ("pbd tol1% cheb+warm.25", "pbd",
          cfg.replace(pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.9,
                      pbd_warm_start=0.25), 0.004),
+        # round-5 continuation (exp/warm_dt_sweep.py): the two points
+        # that VALIDATED at dt 0.004 — the dt-scaled warm predictor
+        # (0.125 at 0.004 ~ the same absolute perturbation as the
+        # 0.25-at-0.002 pass) and the higher Chebyshev rho
+        ("pbd tol1% cheb 0.95", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01,
+                     pbd_chebyshev_rho=0.95), 0.004),
+        ("pbd tol1% cheb+w.125", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.9,
+                     pbd_warm_start=0.125), 0.004),
     ]
     if len(sys.argv) > 2:
         cases = [c for c in cases if sys.argv[2] in c[0]]
