@@ -14,6 +14,7 @@ from .state import (
     block_positions,
     boundary_positions,
     dam_break_positions,
+    drop_scene,
     make_fluid_state,
     scaled_dam_scene,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "resolve_solver",
     "FluidState",
     "block_positions",
+    "drop_scene",
     "scaled_dam_scene",
     "boundary_positions",
     "dam_break_positions",

@@ -41,6 +41,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "PBD projection, plain Jacobi DFSPH) instead of the "
                         "validated fast default (PBD tolerance exit + "
                         "Chebyshev)")
+    p.add_argument("--scene", default="dam", choices=("dam", "drop"),
+                   help="dam: the reference's 36x24x24 dam break "
+                        "(src/main.cpp:75-85); drop: a compact cube "
+                        "falling onto a resting pool (state.drop_scene)")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--dt", type=float, default=None,
                    help="timestep (default: config value 0.002)")
@@ -73,15 +77,27 @@ def make_camera(args) -> Camera:
                   width=args.size, height=args.size)
 
 
+def make_sim(args) -> Simulation:
+    """Build the Simulation for the selected scene/mode/engine (shared by
+    the headless, interactive, and serve paths)."""
+    mode = "parity" if args.parity else "fast"
+    fluid_pos = None
+    if args.scene == "drop":
+        from .state import drop_scene
+        cfg, fluid_pos = drop_scene(mode=mode)
+    else:
+        cfg = dam_break_config(mode=mode)
+    if args.engine:
+        cfg = cfg.replace(engine=args.engine)
+    return Simulation(solver=args.solver, cfg=cfg, fluid_pos=fluid_pos)
+
+
 def run_headless(args) -> int:
     if args.checkpoint_in:
         from .utils.io import load_checkpoint
         sim = load_checkpoint(args.checkpoint_in)
     else:
-        cfg = dam_break_config(mode="parity" if args.parity else "fast")
-        if args.engine:
-            cfg = cfg.replace(engine=args.engine)
-        sim = Simulation(solver=args.solver, cfg=cfg)
+        sim = make_sim(args)
     cam = make_camera(args)
     cube_pts, cube_cols = draw_cube_edges()
     render_jit = jax.jit(
@@ -152,8 +168,7 @@ def run_interactive(args) -> int:
     import os
     os.makedirs("frames", exist_ok=True)
     print(INSTRUCTIONS)
-    sim = Simulation(solver=args.solver, cfg=dam_break_config(
-        mode="parity" if args.parity else "fast"))
+    sim = make_sim(args)
     cam = make_camera(args)
     timer = StepTimer()
     running = False
@@ -212,10 +227,7 @@ def run_serve(args, frames_budget=None) -> int:
     simulation loop on this thread, an HTTP viewer thread serving frames,
     stats, and key events (utils/viewer.py)."""
     from .utils import viewer
-    cfg = dam_break_config(mode="parity" if args.parity else "fast")
-    if args.engine:
-        cfg = cfg.replace(engine=args.engine)
-    sim = Simulation(solver=args.solver, cfg=cfg)
+    sim = make_sim(args)
     return viewer.serve_loop(sim, args, make_camera, draw_cube_edges,
                              render, images, StepTimer, args.serve,
                              frames_budget=frames_budget)

@@ -106,6 +106,42 @@ def scaled_dam_scene(n_target: int, cfg_overrides=None,
     return cfg, block_positions(origin, (side, side, side), spacing)
 
 
+def drop_scene(mode: str = "fast", cfg_overrides=None,
+               pool_layers: int = 6, drop_side: int = 12,
+               drop_height: float = 0.55):
+    """A drop-into-pool scene: a shallow resting pool filling the floor
+    plus a compact cube falling onto its center. Returns
+    (cfg, fluid_positions) for ``Simulation(fluid_pos=...)``.
+
+    This framework's second canonical scene (the reference ships only the
+    dam block, src/main.cpp:75-85; same domain, walls, and physics
+    constants here — only the fluid emitter differs). Its defining
+    property is a spatially LOCALIZED high-occupancy region: the pool
+    rests at ~8 particles/cell while compression above the per-cell bound
+    happens only in the impact column under the drop, which stays put
+    frame over frame — the geometry the opt-in occupancy-split engine
+    (``cfg.occupancy_split``, ops/split.py) is designed for, where the
+    dam's wandering splash defeats it (BENCHMARKS.md round-5 split
+    section).
+    """
+    from .config import dam_break_config
+
+    cfg = dam_break_config(mode=mode, **(cfg_overrides or {}))
+    s = cfg.spacing
+    space = cfg.space_size
+    # pool: a resting layer across the whole floor, wall-inset like the
+    # dam block's 0.27 margin scaled down to one cell
+    nx = int((space[0] - 0.08) / s)
+    pool = block_positions((0.04, 0.04, 0.04),
+                           (nx, pool_layers, nx), s)
+    # drop: a dense cube centered in x/z, released well above the pool
+    extent = drop_side * s
+    cx = 0.5 * (space[0] - extent)
+    drop = block_positions((cx, drop_height, cx),
+                           (drop_side, drop_side, drop_side), s)
+    return cfg, np.concatenate([pool, drop], 0).astype(np.float32)
+
+
 def boundary_positions(cfg: SimConfig) -> np.ndarray:
     """Six walls of the unit cube, 2*cell_size samples per axis, inset to
     [0.005, 0.995] * space (src/main.cpp:88-117). 14,408 particles for the

@@ -123,6 +123,35 @@ def test_scaled_dam_scene_smoke():
     assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
 
 
+def test_drop_scene_geometry():
+    """drop_scene: pool spans the floor, drop hovers above it, everything
+    inside the walls; same domain/physics constants as the dam config."""
+    cfg, pos = cfp.drop_scene(mode="parity")
+    assert (pos > 0).all() and (pos < np.asarray(cfg.space_size)).all()
+    n_drop = 12 ** 3
+    pool, drop = pos[:-n_drop], pos[-n_drop:]
+    assert pool[:, 1].max() < drop[:, 1].min()   # clear air gap
+    # the drop is compact and centered in x/z
+    for ax in (0, 2):
+        assert drop[:, ax].min() > 0.3 and drop[:, ax].max() < 0.7
+    assert cfg.space_size == cfp.dam_break_config().space_size
+
+
+@pytest.mark.slow
+def test_drop_scene_smoke():
+    """A shrunk drop scene steps finite with no grid drops."""
+    cfg, pos = cfp.drop_scene(
+        mode="parity", cfg_overrides=dict(space_size=(0.4, 0.4, 0.4)),
+        pool_layers=3, drop_side=4, drop_height=0.25)
+    assert pos.shape[0] < 1200
+    sim = cfp.Simulation(solver="pbd", cfg=cfg, fluid_pos=pos,
+                         warmup=False)
+    for _ in range(3):
+        sim.step()
+    assert np.isfinite(np.asarray(sim.state.pos)).all()
+    assert int(np.asarray(sim.metrics["grid_overflow"])) == 0
+
+
 @pytest.mark.slow
 def test_auto_capacity_no_drop():
     """A frame whose grid build would drop particles (occupancy beyond
