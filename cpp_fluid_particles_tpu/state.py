@@ -132,12 +132,14 @@ def drop_scene(mode: str = "fast", cfg_overrides=None,
     # pool: a resting layer across the whole floor, wall-inset like the
     # dam block's 0.27 margin scaled down to one cell
     nx = int((space[0] - 0.08) / s)
+    nz = int((space[2] - 0.08) / s)
     pool = block_positions((0.04, 0.04, 0.04),
-                           (nx, pool_layers, nx), s)
+                           (nx, pool_layers, nz), s)
     # drop: a dense cube centered in x/z, released well above the pool
     extent = drop_side * s
     cx = 0.5 * (space[0] - extent)
-    drop = block_positions((cx, drop_height, cx),
+    cz = 0.5 * (space[2] - extent)
+    drop = block_positions((cx, drop_height, cz),
                            (drop_side, drop_side, drop_side), s)
     return cfg, np.concatenate([pool, drop], 0).astype(np.float32)
 
