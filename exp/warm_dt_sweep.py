@@ -42,6 +42,14 @@ CANDIDATES = [
                           pbd_warm_start=0.125)),
     ("tol1%+cheb0.95", dict(pbd_density_tolerance=0.01,
                             pbd_chebyshev_rho=0.95)),
+    # round-5 continuation 2: cheb 0.95 timed -15% vs 0.9 (86.1 vs 101.2
+    # ms/frame) and validated at dt 0.004 — probe one notch higher, and
+    # the 0.95 + dt-scaled-warm compose
+    ("tol1%+cheb0.975", dict(pbd_density_tolerance=0.01,
+                             pbd_chebyshev_rho=0.975)),
+    ("tc95+w.125", dict(pbd_density_tolerance=0.01,
+                        pbd_chebyshev_rho=0.95,
+                        pbd_warm_start=0.125)),
 ]
 
 
@@ -49,13 +57,15 @@ def main():
     dt = float(sys.argv[1]) if len(sys.argv) > 1 else 0.004
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    pick = sys.argv[4] if len(sys.argv) > 4 else ""
+    candidates = [c for c in CANDIDATES if pick in c[0]]
     cfg = cfp.dam_break_config(mode="parity")
-    print(f"gating at dt={dt}", flush=True)
+    print(f"gating at dt={dt}: {[c[0] for c in candidates]}", flush=True)
     t0 = time.perf_counter()
     parity = run_mode("parity", cfg, frames, chunk, "pbd", dt)
     walls = {"parity": time.perf_counter() - t0}
     results = []
-    for nm, flags in CANDIDATES:
+    for nm, flags in candidates:
         t0 = time.perf_counter()
         run = run_mode(nm, cfg.replace(**flags), frames, chunk, "pbd", dt)
         walls[nm] = time.perf_counter() - t0
@@ -70,6 +80,13 @@ def main():
                                                   for k, v in r.items()}}
         print(f"{nm}: {'VALIDATED' if ok else 'DIVERGES'}", flush=True)
     path = f"/root/repo/exp/warm_dt_sweep_dt{dt}.json"
+    try:  # merge with prior (possibly filtered) runs at this dt
+        with open(path) as f:
+            prior = json.load(f)
+        out["walls"] = {**prior.get("walls", {}), **out["walls"]}
+        out["verdicts"] = {**prior.get("verdicts", {}), **out["verdicts"]}
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}", flush=True)
