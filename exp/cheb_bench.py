@@ -118,6 +118,12 @@ def main():
         ("pbd tol1% cheb+w.125", "pbd",
          cfg.replace(pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.9,
                      pbd_warm_start=0.125), 0.004),
+        ("pbd tol1% cheb 0.975", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01,
+                     pbd_chebyshev_rho=0.975), 0.004),
+        ("pbd tc95+w.125", "pbd",
+         cfg.replace(pbd_density_tolerance=0.01, pbd_chebyshev_rho=0.95,
+                     pbd_warm_start=0.125), 0.004),
     ]
     if len(sys.argv) > 2:
         cases = [c for c in cases if sys.argv[2] in c[0]]
